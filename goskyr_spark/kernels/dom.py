@@ -1,0 +1,197 @@
+"""Minimal HTML5-ish DOM on top of the stdlib ``html.parser``.
+
+This container ships no HTML libraries (no lxml / bs4 / selectolax), so we
+build our own tree. The node model intentionally mirrors what the
+reference relies on from golang.org/x/net/html via goquery
+(/root/reference/internal/scraper/scraper.go:912-1015):
+
+- COMMENT nodes are kept as real children (the ``child_index`` walk at
+  scraper.go:963-975 counts *all* node types including comments),
+- text nodes keep their whitespace verbatim (``entire_subtree`` at
+  scraper.go:922-946 concatenates raw text data),
+- mismatched end tags implicitly close open elements (fixture html8 in
+  scraper_test.go:106-120 has unclosed <span> closed by </h3>),
+- character references are unescaped in text and attribute values,
+  except inside <script>/<style> (raw text elements).
+
+It is not a full HTML5 tree-construction algorithm; it covers the
+behaviors the extraction semantics depend on plus a small implied-close
+table (<p>, <li>, table sections) for robustness on real-world pages.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+ELEMENT = 1
+TEXT = 3
+COMMENT = 8
+DOCUMENT = 9
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# start of tag T implicitly closes an open P when (P, T) applies
+_P_CLOSERS = frozenset(
+    "address article aside blockquote details div dl fieldset figcaption figure "
+    "footer form h1 h2 h3 h4 h5 h6 header hr main menu nav ol p pre section "
+    "table ul".split()
+)
+_LI_LIKE = {"li": frozenset(["li"]),
+            "dt": frozenset(["dt", "dd"]),
+            "dd": frozenset(["dt", "dd"]),
+            "tr": frozenset(["tr", "td", "th"]),
+            "td": frozenset(["td", "th"]),
+            "th": frozenset(["td", "th"]),
+            "option": frozenset(["option"]),
+            "thead": frozenset(["tbody", "tfoot", "thead", "tr", "td", "th"]),
+            "tbody": frozenset(["tbody", "tfoot", "thead", "tr", "td", "th"]),
+            "tfoot": frozenset(["tbody", "tfoot", "thead", "tr", "td", "th"])}
+
+
+class Node:
+    """One DOM node. ``type`` is ELEMENT/TEXT/COMMENT/DOCUMENT."""
+
+    __slots__ = ("type", "tag", "attrs", "data", "children", "parent")
+
+    def __init__(self, type_, tag="", attrs=None, data=""):
+        self.type = type_
+        self.tag = tag
+        self.attrs = attrs if attrs is not None else {}
+        self.data = data
+        self.children = []
+        self.parent = None
+
+    def append(self, child):
+        child.parent = self
+        self.children.append(child)
+
+    # --- traversal helpers -------------------------------------------------
+
+    def iter_descendants(self):
+        """All descendants (not self) in document order."""
+        stack = list(reversed(self.children))
+        while stack:
+            n = stack.pop()
+            yield n
+            if n.children:
+                stack.extend(reversed(n.children))
+
+    def iter_elements(self):
+        for n in self.iter_descendants():
+            if n.type == ELEMENT:
+                yield n
+
+    def element_children(self):
+        return [c for c in self.children if c.type == ELEMENT]
+
+    def entire_text(self):
+        """Concatenate ALL descendant text data verbatim (jQuery .text()
+        semantics; whitespace/newlines preserved) — parity with the
+        reference's entire_subtree walk (scraper.go:924-936)."""
+        parts = []
+        stack = list(reversed(self.children))
+        if self.type == TEXT:
+            parts.append(self.data)
+        while stack:
+            n = stack.pop()
+            if n.type == TEXT:
+                parts.append(n.data)
+            if n.children:
+                stack.extend(reversed(n.children))
+        return "".join(parts)
+
+    def attr(self, name, default=""):
+        return self.attrs.get(name, default)
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        if self.type == ELEMENT:
+            return f"<{self.tag} {self.attrs}>"
+        if self.type == TEXT:
+            return f"#text{self.data!r}"
+        if self.type == COMMENT:
+            return f"<!--{self.data}-->"
+        return "#document"
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Node(DOCUMENT)
+        self.stack = [self.root]
+
+    # -- helpers --
+    def _top(self):
+        return self.stack[-1]
+
+    def _implied_close(self, tag):
+        # close <p> when a block-level start tag arrives
+        while len(self.stack) > 1:
+            cur = self._top().tag
+            if cur == "p" and tag in _P_CLOSERS:
+                self.stack.pop()
+                continue
+            closers = _LI_LIKE.get(tag)
+            if closers and cur in closers and cur != "table":
+                # td/th do not close a tr; tr does not close tbody
+                if tag in ("td", "th") and cur == "tr":
+                    break
+                if tag == "tr" and cur in ("tbody", "thead", "tfoot"):
+                    break
+                self.stack.pop()
+                continue
+            break
+
+    def handle_starttag(self, tag, attrs):
+        self._implied_close(tag)
+        # x/net/html-style tbody synthesis: <tr> directly under <table>
+        if tag == "tr" and self._top().tag == "table":
+            tbody = Node(ELEMENT, "tbody")
+            self._top().append(tbody)
+            self.stack.append(tbody)
+        d = {}
+        for k, v in attrs:
+            if k not in d:  # first occurrence wins (HTML5)
+                d[k] = v if v is not None else ""
+        el = Node(ELEMENT, tag, d)
+        self._top().append(el)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(el)
+
+    def handle_startendtag(self, tag, attrs):
+        d = {}
+        for k, v in attrs:
+            if k not in d:
+                d[k] = v if v is not None else ""
+        self._top().append(Node(ELEMENT, tag, d))
+
+    def handle_endtag(self, tag):
+        # find nearest matching open element; pop through it, else ignore
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data):
+        if data:
+            self._top().append(Node(TEXT, data=data))
+
+    def handle_comment(self, data):
+        self._top().append(Node(COMMENT, data=data))
+
+    def handle_decl(self, decl):
+        pass  # doctype: not material to extraction
+
+    def unknown_decl(self, data):
+        pass
+
+
+def parse_html(html):
+    """Parse an HTML string (or UTF-8 bytes) into a DOCUMENT Node."""
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    b = _TreeBuilder()
+    b.feed(html)
+    b.close()
+    return b.root
