@@ -1,0 +1,288 @@
+"""The batch extraction pipeline: pages DataFrame → items DataFrame.
+
+Spark re-expression of the reference's scrape lifecycle
+(/root/reference/internal/scraper/scraper.go:308-446) as declarative
+stages (SURVEY.md §3.1):
+
+  pages(url, html)
+    → stage 1  mapInArrow: item explode + main-page fields + filter-fast
+               (vectorized Arrow batches; the per-item loop runs inside
+               the kernel — no row-at-a-time Python UDFs at the API level)
+    → stage 2  subpage fields: dropDuplicates(subpage urls) is implicit in
+               the hash join against the pages table on url (the Spark
+               analog of the reference's per-item subDocs memo map,
+               scraper.go:394-408); then one more Arrow kernel pass
+    → stage 3  final filter (inside the kernels) → hidden-field drop
+               (df.drop → Catalyst prunes upstream) → guessYear via
+               applyInPandas per scraper group (order-dependent prefix
+               scan, scraper.go:448-498 — cannot be a window function)
+
+Error rows (reference: log + NrErrors++ + skip item) surface as marker
+rows with item_idx = -1 so metrics aggregate without a second pass.
+
+Scale notes (100 TB / 10^10 pages):
+- stage 1 is embarrassingly parallel over page splits; no shuffle.
+- stage 2 shuffles once on subpage_url (AQE picks broadcast when the
+  subpage side is small); skewed hosts are handled upstream by the
+  frontier's host-salting (frontier.py).
+- guessYear groups by scraper name — parallel across scrapers, which is
+  the maximal legal parallelism for an order-dependent chain.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pyarrow as pa
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..config import Scraper
+from ..kernels.filters import filter_item, initialize_filters
+from ..kernels.scrape import extract_subpage_fields, scrape_page
+
+META_COLS = ("page_url", "item_idx", "nr_errors")
+
+
+def _field_columns(scraper: Scraper):
+    """(name, kind) per config field, config order; kind in {str, ts}."""
+    cols = []
+    for f in scraper.fields:
+        cols.append((f.name, "ts" if f.type == "date" else "str"))
+    return cols
+
+
+def item_spark_schema(scraper: Scraper) -> StructType:
+    fields = [
+        StructField("page_url", StringType()),
+        StructField("item_idx", LongType()),
+        StructField("nr_errors", LongType()),
+    ]
+    for name, kind in _field_columns(scraper):
+        fields.append(StructField(
+            name, TimestampType() if kind == "ts" else StringType()))
+    return StructType(fields)
+
+
+def _arrow_schema(scraper: Scraper) -> pa.Schema:
+    fields = [
+        pa.field("page_url", pa.string()),
+        pa.field("item_idx", pa.int64()),
+        pa.field("nr_errors", pa.int64()),
+    ]
+    for name, kind in _field_columns(scraper):
+        fields.append(pa.field(
+            name, pa.timestamp("us", tz="UTC") if kind == "ts"
+            else pa.string()))
+    return pa.schema(fields)
+
+
+def _to_utc(dt):
+    if dt is None:
+        return None
+    if dt.tzinfo is None:
+        return dt.replace(tzinfo=timezone.utc)
+    return dt.astimezone(timezone.utc)
+
+
+def _items_to_batch(scraper, rows, schema):
+    cols = {name: [] for name in schema.names}
+    fcols = _field_columns(scraper)
+    for page_url, item_idx, nr_errors, item in rows:
+        cols["page_url"].append(page_url)
+        cols["item_idx"].append(item_idx)
+        cols["nr_errors"].append(nr_errors)
+        for name, kind in fcols:
+            v = item.get(name)
+            if kind == "ts":
+                cols[name].append(_to_utc(v))
+            else:
+                cols[name].append(v if isinstance(v, str) else
+                                  (None if v is None else str(v)))
+    arrays = [pa.array(cols[f.name], type=f.type) for f in schema]
+    return pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+
+def extract_stage1(pages_df, scraper: Scraper, now=None):
+    """pages(url, html[, ...]) → per-item rows with main-page fields.
+
+    Items that still need subpage fields are NOT final-filtered here;
+    finalize happens in stage 2 / finalize_items_df.
+    """
+    now = now or datetime.now(timezone.utc)
+    schema = item_spark_schema(scraper)
+    arrow_schema = _arrow_schema(scraper)
+    has_subpage = any(f.on_subpage != "" and f.value == ""
+                      for f in scraper.fields)
+
+    def run(batches):
+        filters = initialize_filters(scraper, now=now)
+        for batch in batches:
+            d = batch.to_pydict()
+            out = []
+            for url, html in zip(d["url"], d["html"]):
+                if html is None:
+                    continue
+                if isinstance(html, bytes):
+                    html = html.decode("utf-8", errors="replace")
+                pr = scrape_page(scraper, url, html, filters=filters,
+                                 now=now)
+                if pr.nr_errors:
+                    out.append((url, -1, pr.nr_errors, {}))
+                for item in pr.items:
+                    if not has_subpage:
+                        # complete item: final filter now (scraper.go:425)
+                        clean = {k: v for k, v in item.items()
+                                 if not k.startswith("_")}
+                        if not filter_item(filters, clean):
+                            continue
+                    out.append((url, item["_item_idx"], 0, item))
+            if out:
+                yield _items_to_batch(scraper, out, arrow_schema)
+
+    return pages_df.select("url", "html").mapInArrow(run, schema)
+
+
+def extract_stage2_subpages(items_df, pages_df, scraper: Scraper, now=None):
+    """Join subpage html onto items and extract on_subpage fields.
+
+    One hash join per distinct on_subpage source field (usually one).
+    The join on url IS the fetch-dedup: identical subpage urls hit the
+    same pages row (A1 in SURVEY §2.4)."""
+    now = now or datetime.now(timezone.utc)
+    subpage_sources = []
+    for f in scraper.fields:
+        if f.on_subpage != "" and f.value == "" and \
+                f.on_subpage not in subpage_sources:
+            subpage_sources.append(f.on_subpage)
+    if not subpage_sources:
+        return items_df
+
+    df = items_df
+    html_cols = []
+    for i, src in enumerate(subpage_sources):
+        pcol = f"_sub_html_{i}"
+        sub = pages_df.select(F.col("url").alias(f"_sub_url_{i}"),
+                              F.col("html").alias(pcol))
+        df = df.join(sub, on=F.col(src) == F.col(f"_sub_url_{i}"),
+                     how="left").drop(f"_sub_url_{i}")
+        html_cols.append((src, pcol))
+
+    schema = item_spark_schema(scraper)
+    arrow_schema = _arrow_schema(scraper)
+    fcols = _field_columns(scraper)
+
+    def run(batches):
+        filters = initialize_filters(scraper, now=now)
+        for batch in batches:
+            d = batch.to_pydict()
+            n = batch.num_rows
+            out = []
+            for r in range(n):
+                if d["item_idx"][r] == -1:
+                    out.append((d["page_url"][r], -1, d["nr_errors"][r], {}))
+                    continue
+                item = {}
+                for name, kind in fcols:
+                    v = d[name][r]
+                    if v is not None:
+                        item[name] = v
+                subpage_htmls = {}
+                for src, pcol in html_cols:
+                    url = item.get(src, "")
+                    html = d[pcol][r]
+                    if html is not None:
+                        if isinstance(html, bytes):
+                            html = html.decode("utf-8", errors="replace")
+                        subpage_htmls[url] = html
+                ok, errs = extract_subpage_fields(
+                    scraper, item, subpage_htmls, filters=filters, now=now)
+                if errs:
+                    out.append((d["page_url"][r], -1, errs, {}))
+                if not ok:
+                    continue
+                clean = {k: v for k, v in item.items()
+                         if not k.startswith("_")}
+                if not filter_item(filters, clean):
+                    continue
+                out.append((d["page_url"][r], d["item_idx"][r], 0, item))
+            if out:
+                yield _items_to_batch(scraper, out, arrow_schema)
+
+    keep = list(META_COLS) + [n for n, _ in fcols] + \
+        [p for _, p in html_cols]
+    return df.select(*keep).mapInArrow(run, schema)
+
+
+def finalize_items_df(items_df, scraper: Scraper, now=None,
+                      order_cols=("page_url", "item_idx")):
+    """Split metrics, apply guessYear (if configured), drop hidden fields,
+    order deterministically."""
+    now = now or datetime.now(timezone.utc)
+    items = items_df.filter(F.col("item_idx") >= 0)
+
+    guess_fields = [f.name for f in scraper.fields
+                    if f.type == "date" and f.guess_year]
+    if guess_fields:
+        schema = items.schema
+
+        def fix_group(pdf):
+            import pandas as pd
+
+            from ..config import Field
+            from ..kernels.extract import guess_year
+
+            pdf = pdf.sort_values(list(order_cols)).reset_index(drop=True)
+            fields = [Field(name=n, type="date", guess_year=True)
+                      for n in guess_fields]
+            items_list = []
+            for _, row in pdf.iterrows():
+                it = {}
+                for n in guess_fields:
+                    v = row[n]
+                    if pd.notna(v):
+                        it[n] = v.to_pydatetime()
+                items_list.append(it)
+            guess_year(fields, items_list, now)
+            for n in guess_fields:
+                pdf[n] = pd.Series(
+                    [it.get(n) for it in items_list], dtype="datetime64[us, UTC]")
+            return pdf
+
+        # one group per scraper: the order-dependent chain is a per-scraper
+        # total order; parallelism comes from many scrapers
+        items = (items.withColumn("_scraper", F.lit(scraper.name))
+                 .groupBy("_scraper").applyInPandas(
+                     fix_group, schema.add("_scraper", StringType()))
+                 .drop("_scraper"))
+
+    hidden = [f.name for f in scraper.fields if f.hide]
+    if hidden:
+        items = items.drop(*hidden)
+    return items.drop("nr_errors").orderBy(*order_cols)
+
+
+def metrics_df(items_df):
+    """ScraperStatus analog: nrItems / nrErrors (scraper.go:336-340)."""
+    return items_df.agg(
+        F.sum(F.when(F.col("item_idx") >= 0, 1).otherwise(0)).alias("nr_items"),
+        F.sum(F.when(F.col("item_idx") < 0, F.col("nr_errors"))
+              .otherwise(0)).alias("nr_errors"),
+    )
+
+
+def extract_items(pages_df, scraper: Scraper, now=None,
+                  order_cols=("page_url", "item_idx")):
+    """Full pipeline. Returns (items_df, raw_df); raw_df carries error
+    marker rows for metrics_df."""
+    raw = extract_stage1(pages_df, scraper, now=now)
+    raw = extract_stage2_subpages(raw, pages_df, scraper, now=now)
+    return finalize_items_df(raw, scraper, now=now,
+                             order_cols=order_cols), raw
