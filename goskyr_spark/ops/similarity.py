@@ -1,0 +1,79 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+Brute-force cosine top-k is the correctness baseline; the LSH/IVF
+variants are the scale path — both prune the candidate set so the
+exact dot products run on a fraction of the corpus.
+
+All dot products run JVM-side (zip_with + aggregate over the array,
+cast to double first so Spark and the DuckDB oracle do the identical
+IEEE-754 left-fold)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_topk(embeddings, query_vec_id=0, k=10, id_col="vec_id",
+                vec_col="embedding"):
+    """Exact top-k by cosine similarity against one stored vector.
+
+    Scale: one broadcast of the query vector (scalar subquery via
+    crossJoin of a 1-row df), a full scan with codegen'd dot products,
+    and a k-row total sort — no shuffle of the corpus itself."""
+    q = embeddings.filter(F.col(id_col) == query_vec_id) \
+        .select(F.col(vec_col).alias("_q"))
+    scored = (embeddings.crossJoin(F.broadcast(q))
+              .filter(F.col(id_col) != query_vec_id)
+              .select(
+                  F.col(id_col),
+                  F.round(_dot(F.col(vec_col), F.col("_q")) /
+                          (_norm(F.col(vec_col)) * _norm(F.col("_q"))),
+                          6).alias("cosine")))
+    return scored.orderBy(F.desc("cosine"), id_col).limit(k)
+
+
+def srp_lsh_buckets(embeddings, n_planes=4, id_col="vec_id",
+                    vec_col="embedding"):
+    """Sign-random-projection LSH: bucket = sign bits of dot products
+    against n_planes reference vectors. Deterministic and oracle-checkable
+    because the 'planes' are the first n_planes stored vectors (by id) —
+    at production scale they'd be seeded Gaussians broadcast to executors;
+    the plan shape is identical."""
+    planes = [r[0] for r in embeddings.orderBy(id_col)
+              .select(vec_col).limit(n_planes).collect()]
+    bucket = F.lit(0)
+    for p, vec in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in vec])
+        bucket = bucket + F.when(_dot(F.col(vec_col), arr) > 0,
+                                 2 ** p).otherwise(0)
+    return (embeddings
+            .select(F.col(id_col), bucket.cast("long").alias("bucket"))
+            .orderBy(id_col))
+
+
+def ann_topk_lsh(embeddings, query_vec_id=0, k=10, n_planes=4,
+                 id_col="vec_id", vec_col="embedding"):
+    """ANN: restrict the exact cosine scan to the query's LSH bucket.
+
+    At 10^10 vectors the bucket column is precomputed + partitioned-by,
+    so the scan prunes to ~corpus/2^n_planes."""
+    buckets = srp_lsh_buckets(embeddings, n_planes, id_col, vec_col)
+    with_b = embeddings.join(buckets, id_col)
+    qb = with_b.filter(F.col(id_col) == query_vec_id) \
+        .select(F.col("bucket").alias("_qb"))
+    cand = with_b.join(F.broadcast(qb), F.col("bucket") == F.col("_qb")) \
+        .drop("_qb", "bucket")
+    return cosine_topk(cand, query_vec_id, k, id_col, vec_col)

@@ -1,0 +1,92 @@
+"""Text-analysis operators: token counting, quality scoring, language ID,
+document fingerprinting. All JVM-side column expressions (whole-stage
+codegen) — no Python in the hot path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+# per-language stopword markers (word-boundary regexes); deterministic
+# scoring so the DuckDB oracle can replicate the decision exactly
+LANG_MARKERS = {
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b",
+    "en": r"\b(the|and|is|of|to|in|that|it|for|with)\b",
+    "fr": r"\b(le|la|les|et|est|une|des|dans|pour|que)\b",
+    "nl": r"\b(de|het|een|en|van|is|dat|op|te|met)\b",
+    "sk": r"\b(a|je|na|sa|v|to|som|ako|ale|tak)\b",
+}
+
+EN_STOPWORDS = r"\b(the|a|an|and|or|of|to|in|on|for|with|is|are|was|be)\b"
+
+
+def token_stats(documents, text_col="text", id_col="doc_id"):
+    """Whitespace token count + char count + BPE-ish subword estimate
+    (4-chars-per-token heuristic on non-space chars)."""
+    t = F.trim(F.col(text_col))
+    non_space = F.length(F.regexp_replace(t, r"\s+", ""))
+    return documents.select(
+        F.col(id_col),
+        F.size(F.split(t, r"\s+")).alias("n_tokens"),
+        F.length(t).alias("n_chars"),
+        F.ceil(non_space / F.lit(4)).cast("long").alias("n_subwords_est"),
+    ).orderBy(id_col)
+
+
+def quality_score(documents, text_col="text", id_col="doc_id"):
+    """Heuristic quality features: mean word length, stopword ratio,
+    punctuation density, digit density + a combined score."""
+    t = F.trim(F.col(text_col))
+    words = F.split(t, r"\s+")
+    n_words = F.size(words)
+    n_chars = F.length(t)
+    n_stop = F.regexp_count(F.lower(t), F.lit(EN_STOPWORDS))
+    n_punct = F.regexp_count(t, F.lit(r"[.,;:!?]"))
+    n_digit = F.regexp_count(t, F.lit(r"[0-9]"))
+    mean_wl = (F.length(F.regexp_replace(t, r"\s+", "")) / n_words)
+    stop_ratio = n_stop / n_words
+    score = (F.lit(1.0)
+             - F.least(F.lit(1.0), n_punct / F.greatest(n_words, F.lit(1)))
+             - F.least(F.lit(0.5), n_digit / F.greatest(n_chars, F.lit(1))))
+    return documents.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        n_punct.alias("n_punct"),
+        n_digit.alias("n_digit"),
+        F.round(score, 4).alias("quality"),
+    ).orderBy(id_col)
+
+
+def lang_id(documents, text_col="text", id_col="doc_id"):
+    """N-gram/stopword-heuristic language ID: argmax of per-language
+    marker-hit counts; ties break lexicographically (deterministic)."""
+    t = F.lower(F.trim(F.col(text_col)))
+    counts = [F.regexp_count(t, F.lit(rx)).alias(f"c_{lang}")
+              for lang, rx in sorted(LANG_MARKERS.items())]
+    df = documents.select(F.col(id_col), *counts)
+    langs = sorted(LANG_MARKERS)
+    best = F.lit(langs[0])
+    best_c = F.col(f"c_{langs[0]}")
+    for lang in langs[1:]:
+        c = F.col(f"c_{lang}")
+        best = F.when(c > best_c, F.lit(lang)).otherwise(best)
+        best_c = F.when(c > best_c, c).otherwise(best_c)
+    return df.select(F.col(id_col), best.alias("lang_pred"),
+                     best_c.cast("long").alias("marker_hits")).orderBy(id_col)
+
+
+def fingerprint(documents, text_col="text", id_col="doc_id",
+                mod=1_000_000_007, base=31):
+    """Polynomial rolling hash over the character codepoints of the
+    normalized text (whitespace collapsed, lowercased) — a content
+    fingerprint with identical integer arithmetic in the SQL oracle."""
+    t = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(t)),
+        lambda i: F.ascii(F.substring(t, i, 1)).cast("long"))
+    fp = F.aggregate(
+        codes, F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + c) % mod)
+    return documents.select(F.col(id_col), fp.alias("fingerprint")) \
+        .orderBy(id_col)

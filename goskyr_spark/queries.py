@@ -1,0 +1,638 @@
+"""The driver-facing query catalog: every entry is one operator family
+from SURVEY.md §2 or a training-data-pipeline op, implemented Spark-first,
+with a DuckDB-runnable ANSI-SQL oracle where the semantics are
+SQL-expressible (the driver compares row count + schema + value hash at
+sf=0.01).
+
+Extraction queries synthesize HTML pages deterministically FROM the
+documents table inside the query (html escape → parse → extract is an
+exact round trip), so goskyr's real extraction kernels (CSS selection,
+regex, URL join, Go-layout dates, filters) are value-checked against
+plain SQL over the same rows.
+"""
+
+from __future__ import annotations
+
+import html as html_mod
+
+import pyarrow as pa
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, StringType, StructField, StructType,
+)
+
+from .config import loads_config
+from .spark.pipeline import extract_stage1, finalize_items_df
+
+
+def documents(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- deterministic doc→page synthesis (inside the query) ---------------------
+
+_PAGE_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("html", BinaryType()),
+])
+
+_PAGE_ARROW = pa.schema([pa.field("url", pa.string()),
+                         pa.field("html", pa.binary())])
+
+
+def _render_doc_page(doc_id, text, lang, source, n_chars):
+    d = 1 + doc_id % 28
+    m = 1 + (doc_id // 28) % 12
+    hh = doc_id % 24
+    mm = doc_id % 60
+    body = html_mod.escape(text, quote=False)
+    items = "\n".join(
+        f'<div class="it"><span class="t">item {doc_id}-{k}</span></div>'
+        for k in range(3))
+    page = (
+        "<html><body>\n"
+        f'<div class="doc">\n'
+        f'<h1 class="doc-title">doc {doc_id}</h1>\n'
+        f'<p class="body">{body}</p>\n'
+        f'<a class="link" href="../detail/{doc_id}">detail</a>\n'
+        f'<span class="meta">{n_chars} chars lang {lang}</span>\n'
+        f'<div class="items">\n{items}\n</div>\n'
+        f'<div class="when">{d}.{m}.2024 {hh:02d}:{mm:02d}</div>\n'
+        "</div></body></html>")
+    return f"https://{source}.test/docs/list/{doc_id}", page.encode()
+
+
+def doc_pages(spark, sf_dir):
+    docs = documents(spark, sf_dir)
+
+    def gen(batches):
+        for b in batches:
+            d = b.to_pydict()
+            urls, htmls = [], []
+            for i in range(b.num_rows):
+                u, h = _render_doc_page(d["doc_id"][i], d["text"][i],
+                                        d["lang"][i], d["source"][i],
+                                        d["n_chars"][i])
+                urls.append(u)
+                htmls.append(h)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(htmls, pa.binary())],
+                schema=_PAGE_ARROW)
+
+    return docs.select("doc_id", "text", "lang", "source", "n_chars") \
+        .mapInArrow(gen, _PAGE_SCHEMA)
+
+
+def _extract(spark, sf_dir, scraper_yaml, columns):
+    scraper = loads_config(scraper_yaml).scrapers[0]
+    pages = doc_pages(spark, sf_dir)
+    raw = extract_stage1(pages, scraper)
+    items = finalize_items_df(raw, scraper)
+    sel = [F.regexp_extract(F.col("page_url"), r"/docs/list/(\d+)", 1)
+           .cast("long").alias("doc_id")]
+    sel.extend(columns)
+    return items.select(*sel).orderBy("doc_id")
+
+
+# --- extraction query family --------------------------------------------------
+
+def q_ex_text_css(spark, sf_dir):
+    """P1+P3: CSS select one item per page, extract trimmed text."""
+    return _extract(spark, sf_dir, """
+scrapers:
+  - name: ex
+    url: x
+    item: div.doc
+    fields:
+      - name: body
+        location: {selector: p.body}
+""", [F.col("body")])
+
+
+def q_ex_attr(spark, sf_dir):
+    """P3d: attribute extraction (first matched node)."""
+    return _extract(spark, sf_dir, """
+scrapers:
+  - name: ex
+    url: x
+    item: div.doc
+    fields:
+      - name: href
+        location: {selector: a.link, attr: href}
+""", [F.col("href")])
+
+
+def q_ex_regex(spark, sf_dir):
+    """P4: regex extract (first match; no match → '' via ignore_errors)."""
+    return _extract(spark, sf_dir, """
+scrapers:
+  - name: ex
+    url: x
+    item: div.doc
+    fields:
+      - name: first_num
+        can_be_empty: true
+        location:
+          selector: p.body
+          regex_extract: {exp: "[0-9]+", ignore_errors: true}
+""", [F.col("first_num")])
+
+
+def q_ex_transform(spark, sf_dir):
+    """P5: regex-replace transform on extracted text."""
+    return _extract(spark, sf_dir, """
+scrapers:
+  - name: ex
+    url: x
+    item: div.doc
+    fields:
+      - name: meta_x
+        location: {selector: span.meta}
+        transform:
+          - {type: regex-replace, regex: "[0-9]+", replace: "N"}
+""", [F.col("meta_x")])
+
+
+def q_ex_urljoin(spark, sf_dir):
+    """P7: goskyr URL join ('..' branch) during url-field extraction."""
+    return _extract(spark, sf_dir, """
+scrapers:
+  - name: ex
+    url: x
+    item: div.doc
+    fields:
+      - name: link
+        type: url
+        location: {selector: a.link}
+""", [F.col("link")])
+
+
+def q_ex_items_explode(spark, sf_dir):
+    """P1: multiple item nodes per page → one row each (posexplode)."""
+    scraper = loads_config("""
+scrapers:
+  - name: ex
+    url: x
+    item: div.it
+    fields:
+      - name: t
+        location: {selector: span.t}
+""").scrapers[0]
+    pages = doc_pages(spark, sf_dir)
+    raw = extract_stage1(pages, scraper)
+    items = finalize_items_df(raw, scraper)
+    return items.select(
+        F.regexp_extract("page_url", r"/docs/list/(\d+)", 1)
+        .cast("long").alias("doc_id"),
+        F.col("item_idx"), F.col("t")).orderBy("doc_id", "item_idx")
+
+
+def q_ex_date(spark, sf_dir):
+    """P8: Go-layout date parsing ('2.1.2006 15:04')."""
+    return _extract(spark, sf_dir, """
+scrapers:
+  - name: ex
+    url: x
+    item: div.doc
+    fields:
+      - name: ts
+        type: date
+        components:
+          - covers: {day: true, month: true, year: true, time: true}
+            location: {selector: div.when}
+            layout: ["2.1.2006 15:04"]
+""", [F.col("ts")])
+
+
+def q_ex_filter(spark, sf_dir):
+    """F2/F3: regex filters (match:true keep + match:false drop)."""
+    return _extract(spark, sf_dir, """
+scrapers:
+  - name: ex
+    url: x
+    item: div.doc
+    fields:
+      - name: body
+        location: {selector: p.body}
+    filters:
+      - {field: body, exp: "join", match: true}
+      - {field: body, exp: "window", match: false}
+""", [F.col("body")])
+
+
+def q_ex_static_hide(spark, sf_dir):
+    """P2 static fields + P11 hidden-field drop (hidden col used by a
+    filter but absent from output)."""
+    return _extract(spark, sf_dir, """
+scrapers:
+  - name: ex
+    url: x
+    item: div.doc
+    fields:
+      - name: kind
+        value: doc
+      - name: body
+        hide: true
+        location: {selector: p.body}
+      - name: title
+        location: {selector: h1.doc-title}
+    filters:
+      - {field: body, exp: "scan", match: true}
+""", [F.col("kind"), F.col("title")])
+
+
+ORACLES_EXTRACT = {
+    "ex_text_css": """
+        SELECT doc_id, text AS body FROM documents ORDER BY doc_id""",
+    "ex_attr": """
+        SELECT doc_id, '../detail/' || CAST(doc_id AS VARCHAR) AS href
+        FROM documents ORDER BY doc_id""",
+    "ex_regex": """
+        SELECT doc_id, regexp_extract(text, '[0-9]+') AS first_num
+        FROM documents ORDER BY doc_id""",
+    "ex_transform": """
+        SELECT doc_id,
+               'N chars lang ' || lang AS meta_x
+        FROM documents ORDER BY doc_id""",
+    "ex_urljoin": """
+        SELECT doc_id, 'https://' || source || '.test/docs/detail/' ||
+               CAST(doc_id AS VARCHAR) AS link
+        FROM documents ORDER BY doc_id""",
+    "ex_items_explode": """
+        SELECT doc_id, k AS item_idx,
+               'item ' || CAST(doc_id AS VARCHAR) || '-' ||
+               CAST(k AS VARCHAR) AS t
+        FROM documents, unnest([0, 1, 2]) AS u(k)
+        ORDER BY doc_id, item_idx""",
+    "ex_date": """
+        SELECT doc_id,
+               make_timestamp(2024,
+                              1 + CAST(doc_id // 28 AS INT) % 12,
+                              1 + CAST(doc_id AS INT) % 28,
+                              CAST(doc_id AS INT) % 24,
+                              CAST(doc_id AS INT) % 60, 0) AS ts
+        FROM documents ORDER BY doc_id""",
+    "ex_filter": """
+        SELECT doc_id, text AS body FROM documents
+        WHERE regexp_matches(text, 'join')
+          AND NOT regexp_matches(text, 'window')
+        ORDER BY doc_id""",
+    "ex_static_hide": """
+        SELECT doc_id, 'doc' AS kind,
+               'doc ' || CAST(doc_id AS VARCHAR) AS title
+        FROM documents WHERE regexp_matches(text, 'scan')
+        ORDER BY doc_id""",
+}
+
+
+# --- dedup / text / similarity / multimodal families ---------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    from .ops.dedup import exact_dedup
+
+    return exact_dedup(documents(spark, sf_dir))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from .ops.dedup import minhash_lsh_buckets
+
+    return minhash_lsh_buckets(documents(spark, sf_dir)) \
+        .withColumn("candidates",
+                    __import__("pyspark.sql.functions", fromlist=["F"])
+                    .concat_ws(",", "candidates"))
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    from .ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(documents(spark, sf_dir), threshold=0.2)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from .ops.dedup import simhash16
+
+    return simhash16(documents(spark, sf_dir))
+
+
+def q_txt_tokens(spark, sf_dir):
+    from .ops.text import token_stats
+
+    return token_stats(documents(spark, sf_dir))
+
+
+def q_txt_quality(spark, sf_dir):
+    from .ops.text import quality_score
+
+    return quality_score(documents(spark, sf_dir))
+
+
+def q_txt_langid(spark, sf_dir):
+    from .ops.text import lang_id
+
+    return lang_id(documents(spark, sf_dir))
+
+
+def q_txt_fingerprint(spark, sf_dir):
+    from .ops.text import fingerprint
+
+    return fingerprint(documents(spark, sf_dir))
+
+
+def q_sim_topk(spark, sf_dir):
+    from .ops.similarity import cosine_topk
+
+    return cosine_topk(embeddings(spark, sf_dir), query_vec_id=0, k=10)
+
+
+def q_sim_lsh_buckets(spark, sf_dir):
+    from .ops.similarity import srp_lsh_buckets
+
+    return srp_lsh_buckets(embeddings(spark, sf_dir), n_planes=4)
+
+
+def q_mm_decode(spark, sf_dir):
+    from .ops.multimodal import decode_metadata, payload_table
+
+    return decode_metadata(payload_table(documents(spark, sf_dir)))
+
+
+_STOP_RX = {
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b",
+    "en": r"\b(the|and|is|of|to|in|that|it|for|with)\b",
+    "fr": r"\b(le|la|les|et|est|une|des|dans|pour|que)\b",
+    "nl": r"\b(de|het|een|en|van|is|dat|op|te|met)\b",
+    "sk": r"\b(a|je|na|sa|v|to|som|ako|ale|tak)\b",
+}
+
+ORACLES_OPS = {
+    "dedup_exact": """
+        SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY content_hash""",
+    "dedup_jaccard": """
+        WITH sh AS (
+          SELECT doc_id, unnest(list_distinct(sh)) AS shingle FROM (
+            SELECT doc_id,
+                   [array_to_string(w[i:i+2], ' ')
+                    for i in range(1, greatest(len(w) - 2, 0) + 1)] AS sh
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(text), '\\s+') AS w
+                  FROM documents))),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+        ORDER BY id_a, id_b""",
+    "dedup_minhash_lsh": """
+        WITH sh AS (
+          SELECT doc_id, unnest(list_distinct(sh)) AS shingle FROM (
+            SELECT doc_id,
+                   [array_to_string(w[i:i+2], ' ')
+                    for i in range(1, greatest(len(w) - 2, 0) + 1)] AS sh
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(text), '\\s+') AS w
+                  FROM documents))),
+        sig AS (
+          SELECT doc_id,
+                 {sig_cols}
+          FROM sh GROUP BY doc_id),
+        bands AS (
+          {bands_union}
+        )
+        SELECT band_id, band_sig,
+               array_to_string(list_sort(list(doc_id)), ',') AS candidates,
+               count(*) AS n_docs
+        FROM bands GROUP BY band_id, band_sig
+        HAVING count(*) >= 2
+        ORDER BY band_id, band_sig""",
+    "dedup_simhash": None,  # assembled below (long but mechanical)
+    "txt_tokens": """
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               length(trim(text)) AS n_chars,
+               CAST(ceil(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                         / 4.0) AS BIGINT) AS n_subwords_est
+        FROM documents ORDER BY doc_id""",
+    "txt_quality": """
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_words,
+               round(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                     * 1.0 / len(string_split_regex(trim(text), '\\s+')), 4)
+                   AS mean_word_len,
+               round(len(regexp_extract_all(lower(trim(text)),
+                   '\\b(the|a|an|and|or|of|to|in|on|for|with|is|are|was|be)\\b'))
+                     * 1.0 / len(string_split_regex(trim(text), '\\s+')), 4)
+                   AS stopword_ratio,
+               len(regexp_extract_all(trim(text), '[.,;:!?]')) AS n_punct,
+               len(regexp_extract_all(trim(text), '[0-9]')) AS n_digit,
+               round(1.0
+                 - least(1.0, len(regexp_extract_all(trim(text), '[.,;:!?]'))
+                     * 1.0 / greatest(len(string_split_regex(trim(text),
+                                                             '\\s+')), 1))
+                 - least(0.5, len(regexp_extract_all(trim(text), '[0-9]'))
+                     * 1.0 / greatest(length(trim(text)), 1)), 4) AS quality
+        FROM documents ORDER BY doc_id""",
+    "txt_langid": None,  # assembled below
+    "txt_fingerprint": """
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   [CAST(ascii(t[i]) AS BIGINT)
+                    for i in range(1, length(t) + 1)]),
+                 (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+        FROM (SELECT doc_id,
+                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+              FROM documents)
+        ORDER BY doc_id""",
+    "sim_topk": """
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round(
+                 list_reduce(list_prepend(0.0,
+                   [CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)
+                    for i in range(1, len(embedding) + 1)]),
+                   (acc, v) -> acc + v)
+                 / (sqrt(list_reduce(list_prepend(0.0,
+                      [CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                       for i in range(1, len(embedding) + 1)]),
+                      (acc, v) -> acc + v))
+                    * sqrt(list_reduce(list_prepend(0.0,
+                      [CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)
+                       for i in range(1, len(qv) + 1)]),
+                      (acc, v) -> acc + v))), 6) AS cosine
+        FROM embeddings, q
+        WHERE vec_id != 0
+        ORDER BY cosine DESC, vec_id LIMIT 10""",
+    "mm_decode": """
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               substr(md5(text), 1, 8) AS content_id,
+               160 + octet_length(encode(text)) % 480 AS fake_width,
+               90 + octet_length(encode(text)) % 270 AS fake_height,
+               1 + octet_length(encode(text)) % 24 AS fake_frames
+        FROM documents ORDER BY doc_id""",
+}
+
+
+def _minhash_oracle(num_perm=8, band_size=2):
+    sig_cols = ",\n                 ".join(
+        f"min(md5(shingle || '#{k}')) AS sig_{k}" for k in range(num_perm))
+    bands = []
+    for b in range(num_perm // band_size):
+        cols = " || '|' || ".join(
+            f"sig_{k}" for k in range(b * band_size, (b + 1) * band_size))
+        bands.append(f"SELECT doc_id, {b} AS band_id, {cols} AS band_sig "
+                     "FROM sig")
+    tmpl = ORACLES_OPS["dedup_minhash_lsh"]
+    return tmpl.replace("{sig_cols}", sig_cols) \
+               .replace("{bands_union}", "\n          UNION ALL\n          "
+                        .join(bands))
+
+
+ORACLES_OPS["dedup_minhash_lsh"] = _minhash_oracle()
+
+
+def _simhash_oracle():
+    # bit b of md5(word): nibble = hex digit (b//4 + 1); bit = nibble>>(b%4)&1
+    votes = []
+    for b in range(16):
+        pos = b // 4 + 1
+        shift = 2 ** (b % 4)
+        nib = (f"(CASE WHEN substr(h, {pos}, 1) >= 'a' "
+               f"THEN ascii(substr(h, {pos}, 1)) - 87 "
+               f"ELSE ascii(substr(h, {pos}, 1)) - 48 END)")
+        votes.append(f"sum((({nib} // {shift}) % 2) * 2 - 1) AS v{b}")
+    sim = " + ".join(f"(CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END)"
+                     for b in range(16))
+    return f"""
+        WITH words AS (
+          SELECT doc_id, md5(w) AS h FROM (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                     string_split_regex(trim(text), '\\s+'))) AS w
+            FROM documents) WHERE w != ''),
+        votes AS (
+          SELECT doc_id, {', '.join(votes)} FROM words GROUP BY doc_id)
+        SELECT doc_id, CAST({sim} AS BIGINT) AS simhash
+        FROM votes ORDER BY doc_id"""
+
+
+ORACLES_OPS["dedup_simhash"] = _simhash_oracle()
+
+
+def _langid_oracle():
+    langs = sorted(_STOP_RX)
+    counts = ", ".join(
+        f"len(regexp_extract_all(lower(trim(text)), '{_STOP_RX[l]}')) AS c_{l}"
+        for l in langs)
+    best = f"'{langs[0]}'"
+    best_c = f"c_{langs[0]}"
+    for l in langs[1:]:
+        best = f"(CASE WHEN c_{l} > {best_c} THEN '{l}' ELSE {best} END)"
+        best_c = f"(CASE WHEN c_{l} > {best_c} THEN c_{l} ELSE {best_c} END)"
+    return f"""
+        WITH c AS (SELECT doc_id, {counts} FROM documents)
+        SELECT doc_id, {best} AS lang_pred,
+               CAST({best_c} AS BIGINT) AS marker_hits
+        FROM c ORDER BY doc_id"""
+
+
+ORACLES_OPS["txt_langid"] = _langid_oracle()
+
+
+# --- catalog -------------------------------------------------------------------
+
+def all_queries():
+    qs = {
+        "ex_text_css": q_ex_text_css,
+        "ex_attr": q_ex_attr,
+        "ex_regex": q_ex_regex,
+        "ex_transform": q_ex_transform,
+        "ex_urljoin": q_ex_urljoin,
+        "ex_items_explode": q_ex_items_explode,
+        "ex_date": q_ex_date,
+        "ex_filter": q_ex_filter,
+        "ex_static_hide": q_ex_static_hide,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "txt_tokens": q_txt_tokens,
+        "txt_quality": q_txt_quality,
+        "txt_langid": q_txt_langid,
+        "txt_fingerprint": q_txt_fingerprint,
+        "sim_topk": q_sim_topk,
+        "sim_lsh_buckets": q_sim_lsh_buckets,
+        "mm_decode": q_mm_decode,
+        "crawl_mock_items": q_crawl_mock_items,
+        "crawl_round": q_crawl_round,
+    }
+    return qs
+
+
+def all_oracles():
+    out = dict(ORACLES_EXTRACT)
+    out.update({k: v for k, v in ORACLES_OPS.items() if v})
+    # sim_lsh_buckets / crawl_* are rows-only checks (non-SQL-expressible:
+    # LSH planes come from collected vectors; crawl needs stateful rounds)
+    return out
+
+
+# --- crawl queries (rows-only gate) --------------------------------------------
+
+def q_crawl_mock_items(spark, sf_dir):
+    """The reference's config-mock.yaml through the Spark pipeline
+    (W3 shape; byte parity asserted in tests)."""
+    import os
+    import sys
+
+    from .synth import fixture_pages_df
+
+    tests_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests")
+    if tests_dir not in sys.path:
+        sys.path.insert(0, tests_dir)
+    from test_mock_e2e import MOCK_CONFIG
+
+    scraper = loads_config(MOCK_CONFIG).scrapers[0]
+    pages = fixture_pages_df(spark).filter(
+        F.col("url") == "https://mock.url")
+    raw = extract_stage1(pages, scraper)
+    return finalize_items_df(raw, scraper)
+
+
+def q_crawl_round(spark, sf_dir):
+    """One full crawl (bounded synthetic web) → per-round summary rows.
+    Exercises frontier, seen-set, politeness, robots, checkpointing."""
+    import tempfile
+
+    from .spark.crawl import CrawlEngine
+    from .synth import SynthSpec, event_scraper, host_name, synth_pages_df
+    from datetime import datetime, timezone
+
+    spec = SynthSpec(n_hosts=3, pages_per_host=2, items_per_page=2,
+                     hot_hosts=1, hot_factor=2)
+    pages = synth_pages_df(spark, spec, include_fixtures=False)
+    wd = tempfile.mkdtemp(prefix="goskyr-crawlq-")
+    eng = CrawlEngine(spark, wd, pages, event_scraper,
+                      [f"https://{host_name(h)}/list/1"
+                       for h in range(spec.n_hosts)],
+                      now=datetime(2026, 3, 1, tzinfo=timezone.utc))
+    eng.run(max_rounds=10)
+    from .spark.crawl import ROUNDS_SCHEMA
+
+    return eng.t_rounds.read(spark, schema=ROUNDS_SCHEMA) \
+        .select("round", "n_dequeued", "n_fetched_ok", "n_items",
+                "n_new_urls").orderBy("round")

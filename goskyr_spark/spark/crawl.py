@@ -1,0 +1,628 @@
+"""The crawl engine: URL frontier + fetch scheduler + extraction rounds.
+
+North-rule architecture (BASELINE.json, SURVEY §3.1): each crawl round is
+a deterministic micro-batch over snapshot tables —
+
+  pending  = frontier ANTI JOIN fetched            (append-only tables)
+  dequeue  = robots-filter → per-host top-k (Window host / priority,url)
+             → global ORDER BY (priority, url) LIMIT round_budget
+  fetch    = hash join against the pages table on url (the mock "web";
+             a real HTTP fetcher plugs in behind the same join contract),
+             repartitioned BY HOST so per-host politeness (crawl-delay
+             budgets from robots.txt) is enforceable inside one partition
+  extract  = one Arrow kernel pass per fetched page: items + outlinks
+             (pagination links depth+1 and item url fields), outlinks
+             canonicalized by goskyr's URL-join during extraction (P7)
+  seen-set = candidates → per-slab Bloom+cuckoo test ("definitely new"
+             skips the shuffle; "maybe seen" pays the exact LEFT ANTI
+             JOIN — false positives can NEVER drop a real URL)
+  commit   = items / fetched / seen+slabs / frontier / metrics appended
+             with round metadata; a final `rounds` row marks the round
+             complete. Resume rolls every table back to the last complete
+             round (snapshot isolation makes rollback free), so a crash
+             mid-round replays identically.
+
+Determinism: every ordering is an explicit sort key (priority, url,
+host); the virtual politeness clock is a pure function of the dequeue
+set; no wall-clock, partition-order, or hash-seed dependence — local[8]
+and local[32] produce identical crawl order and seen set (tested).
+
+Skew: hot hosts (large news domains) are bounded by per_host_budget at
+dequeue; the fetch stage salts any host whose dequeued count exceeds
+salt_threshold across `salt_factor` sub-partitions while keeping the
+politeness chain correct by computing the virtual clock per host BEFORE
+salting (the delay schedule is part of the dequeue output, not the
+fetch partition).
+"""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime, timezone
+from urllib.parse import urlsplit
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+from pyspark.sql.types import (
+    BinaryType, DoubleType, LongType, StringType, StructField, StructType,
+    TimestampType,
+)
+
+from ..kernels.cuckoo import BloomFilter, CuckooFilter
+from ..kernels.filters import filter_item, initialize_filters
+from ..kernels.robots import parse_robots
+from ..kernels.scrape import scrape_page
+from .pipeline import _field_columns, _arrow_schema, item_spark_schema
+from .store import SnapshotStore
+
+FRONTIER_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("url_hash", LongType()),
+    StructField("host", StringType()),
+    StructField("priority", DoubleType()),
+    StructField("depth", LongType()),
+    StructField("discovered_round", LongType()),
+])
+
+FETCHED_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("url_hash", LongType()),
+    StructField("host", StringType()),
+    StructField("round", LongType()),
+    StructField("fetch_seq", LongType()),
+    StructField("fetch_ts", DoubleType()),
+    StructField("status", StringType()),  # ok | missing | robots
+    StructField("n_items", LongType()),
+    StructField("n_errors", LongType()),
+])
+
+SEEN_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("url_hash", LongType()),
+    StructField("round", LongType()),
+])
+
+SLAB_SCHEMA = StructType([
+    StructField("slab_id", LongType()),
+    StructField("round", LongType()),
+    StructField("bloom", BinaryType()),
+    StructField("cuckoo", BinaryType()),
+])
+
+METRICS_SCHEMA = StructType([
+    StructField("round", LongType()),
+    StructField("partition", LongType()),
+    StructField("n_fetched", LongType()),
+    StructField("n_items", LongType()),
+    StructField("n_errors", LongType()),
+    StructField("started", TimestampType()),
+    StructField("ended", TimestampType()),
+])
+
+ROUNDS_SCHEMA = StructType([
+    StructField("round", LongType()),
+    StructField("n_dequeued", LongType()),
+    StructField("n_fetched_ok", LongType()),
+    StructField("n_items", LongType()),
+    StructField("n_errors", LongType()),
+    StructField("n_new_urls", LongType()),
+    StructField("wall_secs", DoubleType()),
+])
+
+
+def url_host(url: str) -> str:
+    return urlsplit(url).netloc
+
+
+def _u64(int64_array):
+    return np.asarray(int64_array, dtype=np.int64).view(np.uint64)
+
+
+class CrawlEngine:
+    def __init__(self, spark, workdir, pages_df, scraper_factory, seeds,
+                 per_host_budget=64, round_budget=100_000, user_agent="*",
+                 n_slabs=8, slab_capacity=200_000, salt_threshold=512,
+                 salt_factor=4, now=None, fetch_partitions=None):
+        assert n_slabs & (n_slabs - 1) == 0, "n_slabs must be a power of two"
+        self.spark = spark
+        self.store = SnapshotStore(workdir)
+        self.pages = pages_df
+        self.scraper_factory = scraper_factory
+        self.seeds = sorted(set(seeds))
+        self.per_host_budget = per_host_budget
+        self.round_budget = round_budget
+        self.user_agent = user_agent
+        self.n_slabs = n_slabs
+        self.slab_capacity = slab_capacity
+        self.salt_threshold = salt_threshold
+        self.salt_factor = salt_factor
+        self.now = now or datetime.now(timezone.utc)
+        self.fetch_partitions = fetch_partitions or max(
+            4, spark.sparkContext.defaultParallelism)
+        # one schema for all hosts: factory must produce field-compatible
+        # scrapers (heterogeneous configs get engine instances per config)
+        self._proto = scraper_factory("proto.invalid")
+
+        self.t_frontier = self.store.table("frontier")
+        self.t_fetched = self.store.table("fetched")
+        self.t_seen = self.store.table("seen")
+        self.t_slabs = self.store.table("slabs")
+        self.t_items = self.store.table("items")
+        self.t_metrics = self.store.table("metrics")
+        self.t_rounds = self.store.table("rounds")
+
+    # ------------------------------------------------------------------ state
+
+    def last_complete_round(self) -> int:
+        df = self.t_rounds.read(self.spark, schema=ROUNDS_SCHEMA)
+        row = df.agg(F.max("round").alias("r")).collect()[0]
+        return int(row["r"]) if row["r"] is not None else -1
+
+    def _rollback_table(self, table, round_no):
+        """Point the table back at its last snapshot with meta.round <=
+        round_no (free under snapshot isolation)."""
+        snaps = table.snapshots()
+        target = None
+        for m in snaps:
+            r = m["meta"].get("round", -1)
+            if r <= round_no:
+                target = m
+        if target is None:
+            if table.head() != 0:
+                table._commit([], {"round": round_no}, "overwrite")
+        elif target["snapshot"] != table.head():
+            table._commit(target["files"], {"round": round_no}, "overwrite",
+                          parent=table.head())
+
+    def recover(self):
+        """Roll every table back to the last COMPLETE round; makes resume
+        after a mid-round crash replay identically."""
+        last = self.last_complete_round()
+        for t in (self.t_frontier, self.t_fetched, self.t_seen,
+                  self.t_slabs, self.t_items, self.t_metrics):
+            self._rollback_table(t, last)
+        return last
+
+    def bootstrap(self):
+        """Round -1: seed the frontier + seen set."""
+        rows = [(u, None, url_host(u), 0.0, 0, -1) for u in self.seeds]
+        df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA) \
+            .withColumn("url_hash", F.xxhash64("url"))
+        self.t_frontier.append(df, {"round": -1})
+        self.t_seen.append(df.select("url", "url_hash",
+                                     F.lit(-1).cast("long").alias("round")),
+                           {"round": -1})
+        self._update_slabs(df.select("url", "url_hash"), -1)
+        self.t_rounds.append(self.spark.createDataFrame(
+            [(-1, 0, 0, 0, 0, len(self.seeds), 0.0)], ROUNDS_SCHEMA),
+            {"round": -1})
+
+    # ------------------------------------------------------------------ seen
+
+    def _load_slabs(self):
+        df = self.t_slabs.read(self.spark, schema=SLAB_SCHEMA)
+        w = Window.partitionBy("slab_id").orderBy(F.desc("round"))
+        latest = (df.withColumn("_rn", F.row_number().over(w))
+                  .filter("_rn = 1").drop("_rn"))
+        return {int(r["slab_id"]): (r["bloom"], r["cuckoo"])
+                for r in latest.collect()}
+
+    def _update_slabs(self, new_urls_df, round_no):
+        """Insert new url hashes into their slab's bloom+cuckoo filters."""
+        slabs = self._load_slabs()
+        n_slabs = self.n_slabs
+        cap = self.slab_capacity
+
+        def upd(batches):
+            acc = {}
+            for batch in batches:
+                d = batch.to_pydict()
+                for h in d["url_hash"]:
+                    # Python signed %, numpy uint64 %, and Spark pmod all
+                    # agree because n_slabs is a power of two
+                    acc.setdefault(int(h) % n_slabs, []).append(h)
+            out_ids, out_bloom, out_cuckoo = [], [], []
+            for sid, hs in acc.items():
+                prev = slabs.get(sid)
+                if prev is None:
+                    bloom = BloomFilter.sized_for(cap)
+                    cuckoo = CuckooFilter.sized_for(cap)
+                else:
+                    bloom = BloomFilter.from_bytes(prev[0])
+                    cuckoo = CuckooFilter.from_bytes(prev[1])
+                arr = _u64(hs)
+                bloom.add_many(arr)
+                cuckoo.insert_many(arr)
+                out_ids.append(sid)
+                out_bloom.append(bloom.to_bytes())
+                out_cuckoo.append(cuckoo.to_bytes())
+            if out_ids:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(out_ids, pa.int64()),
+                     pa.array([round_no] * len(out_ids), pa.int64()),
+                     pa.array(out_bloom, pa.binary()),
+                     pa.array(out_cuckoo, pa.binary())],
+                    names=["slab_id", "round", "bloom", "cuckoo"])
+
+        upd_df = (new_urls_df
+                  .repartition(n_slabs, F.pmod(F.col("url_hash"),
+                                               F.lit(n_slabs)))
+                  .select("url_hash")
+                  .mapInArrow(upd, SLAB_SCHEMA))
+        self.t_slabs.append(upd_df, {"round": round_no})
+
+    def _filter_new_urls(self, candidates, round_no):
+        """candidates(url, url_hash, ...) → truly-new rows.
+
+        Bloom/cuckoo 'absent' ⇒ definitely new (no join); 'maybe seen' ⇒
+        exact LEFT ANTI JOIN against the seen table."""
+        slabs = self._load_slabs()
+        n_slabs = self.n_slabs
+
+        flag_schema = StructType(candidates.schema.fields +
+                                 [StructField("maybe_seen", LongType())])
+
+        def flag(batches):
+            filters = {sid: (BloomFilter.from_bytes(b),
+                             CuckooFilter.from_bytes(c))
+                       for sid, (b, c) in slabs.items()}
+            for batch in batches:
+                hs = batch.column(batch.schema.get_field_index("url_hash"))
+                arr = _u64(hs.to_numpy(zero_copy_only=False))
+                sids = (arr % np.uint64(n_slabs)).astype(np.int64)
+                maybe = np.zeros(len(arr), dtype=bool)
+                for sid in np.unique(sids):
+                    pair = filters.get(int(sid))
+                    if pair is None:
+                        continue
+                    sel = sids == sid
+                    sub = arr[sel]
+                    m = pair[0].contains_many(sub)
+                    # cuckoo refines bloom positives
+                    m &= pair[1].contains_many(sub)
+                    maybe[sel] = m
+                yield pa.RecordBatch.from_arrays(
+                    list(batch.columns) +
+                    [pa.array(maybe.astype(np.int64), pa.int64())],
+                    schema=pa.schema(list(batch.schema) +
+                                     [pa.field("maybe_seen", pa.int64())]))
+
+        # no repartition needed for the test pass (slabs broadcast via
+        # closure); only the slab UPDATE needs slab-aligned partitioning
+        flagged = candidates.mapInArrow(flag, flag_schema)
+        definitely_new = flagged.filter("maybe_seen = 0").drop("maybe_seen")
+        maybe_seen = flagged.filter("maybe_seen = 1").drop("maybe_seen")
+        seen = self.t_seen.read(self.spark, schema=SEEN_SCHEMA)
+        # exact join on BOTH hash and url: a 64-bit hash collision must not
+        # drop a distinct url (exactness of the seen set)
+        confirmed_new = maybe_seen.join(seen.select("url_hash", "url"),
+                                        on=["url_hash", "url"],
+                                        how="left_anti")
+        return definitely_new.unionByName(confirmed_new)
+
+    # ------------------------------------------------------------------ round
+
+    def run_round(self, round_no: int):
+        t0 = time.time()
+        spark = self.spark
+        frontier = self.t_frontier.read(spark, schema=FRONTIER_SCHEMA)
+        fetched = self.t_fetched.read(spark, schema=FETCHED_SCHEMA)
+
+        pending = frontier.join(fetched.select("url_hash", "url"),
+                                on=["url_hash", "url"], how="left_anti")
+
+        # per-host top-k dequeue, then global budget — all explicit sorts
+        w = Window.partitionBy("host").orderBy("priority", "url")
+        dequeued = (pending
+                    .withColumn("_rank", F.row_number().over(w))
+                    .filter(F.col("_rank") <= self.per_host_budget)
+                    .drop("_rank")
+                    .orderBy("priority", "url")
+                    .limit(self.round_budget))
+
+        n_dequeued = dequeued.count()
+        if n_dequeued == 0:
+            self.t_rounds.append(spark.createDataFrame(
+                [(round_no, 0, 0, 0, 0, 0, time.time() - t0)], ROUNDS_SCHEMA),
+                {"round": round_no})
+            return {"round": round_no, "n_dequeued": 0}
+
+        # skew: count per host; hot hosts get salted sub-partitions AFTER
+        # the politeness schedule is fixed (salt only parallelizes parsing)
+        host_counts = dequeued.groupBy("host").count()
+        hot_hosts = {r["host"] for r in host_counts
+                     .filter(F.col("count") > self.salt_threshold).collect()}
+
+        # robots rules per host from the pages table
+        robots_df = (self.pages
+                     .withColumn("_h", F.expr("parse_url(url, 'HOST')"))
+                     .filter(F.col("url") == F.concat(F.lit("https://"),
+                                                      F.col("_h"),
+                                                      F.lit("/robots.txt")))
+                     .select(F.col("_h").alias("host"),
+                             F.col("html").alias("_robots")))
+
+        work = (dequeued
+                .join(self.pages.select(F.col("url"),
+                                        F.col("html").alias("_html")),
+                      on="url", how="left")
+                .join(robots_df, on="host", how="left"))
+
+        # politeness schedule: deterministic virtual clock per host —
+        # computed with window functions (rank within host by priority,url)
+        # so it is independent of physical partitioning
+        wseq = Window.partitionBy("host").orderBy("priority", "url")
+        work = work.withColumn("_host_seq",
+                               F.row_number().over(wseq).cast("long"))
+
+        salt_factor = self.salt_factor
+        hot = F.col("host").isin(list(hot_hosts)) if hot_hosts else F.lit(False)
+        work = work.withColumn(
+            "_salt",
+            F.when(hot, F.pmod(F.xxhash64("url"), F.lit(salt_factor)))
+            .otherwise(F.lit(0)))
+
+        scraper_factory = self.scraper_factory
+        user_agent = self.user_agent
+        now = self.now
+        proto = self._proto
+        out_schema = self._crawl_schema()
+        arrow_out = self._crawl_arrow_schema()
+        fcols = _field_columns(proto)
+        round_base = float(round_no) * 1e6
+
+        def fetch_extract(batches):
+            scrapers = {}
+            robots_cache = {}
+            for batch in batches:
+                d = batch.to_pydict()
+                rows = []
+                for r in range(batch.num_rows):
+                    url = d["url"][r]
+                    host = d["host"][r]
+                    prio = d["priority"][r]
+                    depth = d["depth"][r]
+                    host_seq = d["_host_seq"][r]
+                    rb = d["_robots"][r]
+                    if host not in robots_cache:
+                        robots_cache[host] = parse_robots(
+                            rb if rb is not None else b"", user_agent)
+                    rules = robots_cache[host]
+                    delay = rules.crawl_delay or 0.0
+                    fetch_ts = round_base + (host_seq - 1) * delay
+                    path = urlsplit(url).path or "/"
+                    if not rules.allowed(path):
+                        rows.append(_fetch_row(url, host, fetch_ts,
+                                               "robots", 0, 0, fcols))
+                        continue
+                    html = d["_html"][r]
+                    if html is None:
+                        rows.append(_fetch_row(url, host, fetch_ts,
+                                               "missing", 0, 0, fcols))
+                        continue
+                    if isinstance(html, bytes):
+                        html = html.decode("utf-8", errors="replace")
+                    if host not in scrapers:
+                        sc = scraper_factory(host)
+                        scrapers[host] = (sc, initialize_filters(sc, now=now))
+                    scraper, filters = scrapers[host]
+                    pr = scrape_page(scraper, url, html, filters=filters,
+                                     now=now)
+                    n_items = 0
+                    for item in pr.items:
+                        clean = {k: v for k, v in item.items()
+                                 if not k.startswith("_")}
+                        if not filter_item(filters, clean):
+                            continue
+                        n_items += 1
+                        rows.append(_item_row(url, host, item["_item_idx"],
+                                              item, fcols))
+                        # item url fields are outlinks (detail pages)
+                        for f in scraper.fields:
+                            if f.type == "url":
+                                v = item.get(f.name)
+                                if v:
+                                    rows.append(_outlink_row(
+                                        url, host, v, depth, fcols))
+                    if pr.next_page_url:
+                        rows.append(_outlink_row(url, host, pr.next_page_url,
+                                                 depth, fcols))
+                    rows.append(_fetch_row(url, host, fetch_ts, "ok",
+                                           n_items, pr.nr_errors, fcols))
+                if rows:
+                    yield _crawl_batch(rows, arrow_out)
+
+        n_fetch_parts = self.fetch_partitions
+        result = (work.repartition(n_fetch_parts, "host", "_salt")
+                  .sortWithinPartitions("host", "priority", "url")
+                  .mapInArrow(fetch_extract, out_schema)).cache()
+        result.count()  # materialize once; downstream reuses
+
+        # --- commit: items
+        items = (result.filter("_kind = 'item'")
+                 .select(F.col("_page_url").alias("page_url"),
+                         F.col("_item_idx").alias("item_idx"),
+                         *[n for n, _ in fcols],
+                         F.lit(round_no).cast("long").alias("round")))
+        self.t_items.append(items, {"round": round_no})
+
+        # --- commit: fetched (+ deterministic global fetch_seq)
+        worder = Window.orderBy("fetch_ts", "host", "url")
+        fetch_rows = (result.filter("_kind = 'fetch'")
+                      .select(F.col("_page_url").alias("url"),
+                              F.col("_host").alias("host"),
+                              F.col("_fetch_ts").alias("fetch_ts"),
+                              F.col("_status").alias("status"),
+                              F.col("_n_items").alias("n_items"),
+                              F.col("_n_errors").alias("n_errors"))
+                      .withColumn("url_hash", F.xxhash64("url"))
+                      .withColumn("round", F.lit(round_no).cast("long"))
+                      .withColumn("fetch_seq",
+                                  F.row_number().over(worder).cast("long")))
+        self.t_fetched.append(fetch_rows.select(
+            *[f.name for f in FETCHED_SCHEMA.fields]), {"round": round_no})
+
+        # --- outlinks → seen-set → new frontier rows
+        outlinks = (result.filter("_kind = 'outlink'")
+                    .select(F.col("_outlink").alias("url"),
+                            (F.col("_depth") + 1).alias("depth"))
+                    .groupBy("url").agg(F.min("depth").alias("depth"))
+                    .withColumn("url_hash", F.xxhash64("url"))
+                    .withColumn("host", F.expr("parse_url(url, 'HOST')"))
+                    .withColumn("priority", F.col("depth").cast("double"))
+                    .withColumn("discovered_round",
+                                F.lit(round_no).cast("long"))
+                    .select(*[f.name for f in FRONTIER_SCHEMA.fields]))
+        new_urls = self._filter_new_urls(outlinks, round_no).cache()
+        n_new = new_urls.count()
+        if n_new:
+            self.t_frontier.append(new_urls, {"round": round_no})
+            self.t_seen.append(
+                new_urls.select("url", "url_hash",
+                                F.lit(round_no).cast("long").alias("round")),
+                {"round": round_no})
+            self._update_slabs(new_urls.select("url", "url_hash"), round_no)
+        else:
+            # still mark the round on the tables for rollback bookkeeping
+            for t in (self.t_frontier, self.t_seen, self.t_slabs):
+                t.commit_meta({"round": round_no})
+
+        # --- per-partition lineage metrics
+        stats = fetch_rows.groupBy(F.spark_partition_id().alias("partition")) \
+            .agg(F.count("*").alias("n_fetched"),
+                 F.sum("n_items").alias("n_items"),
+                 F.sum("n_errors").alias("n_errors"))
+        started = datetime.now(timezone.utc)
+        metrics = stats.select(
+            F.lit(round_no).cast("long").alias("round"),
+            F.col("partition").cast("long"),
+            F.col("n_fetched").cast("long"),
+            F.col("n_items").cast("long"), F.col("n_errors").cast("long"),
+            F.lit(started).alias("started"),
+            F.lit(datetime.now(timezone.utc)).alias("ended"))
+        self.t_metrics.append(metrics, {"round": round_no})
+
+        agg = fetch_rows.agg(
+            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
+            F.sum("n_items").alias("items"),
+            F.sum("n_errors").alias("errors")).collect()[0]
+        summary = {
+            "round": round_no,
+            "n_dequeued": n_dequeued,
+            "n_fetched_ok": int(agg["ok"] or 0),
+            "n_items": int(agg["items"] or 0),
+            "n_errors": int(agg["errors"] or 0),
+            "n_new_urls": n_new,
+            "wall_secs": time.time() - t0,
+        }
+        self.t_rounds.append(spark.createDataFrame(
+            [tuple(summary.values())], ROUNDS_SCHEMA), {"round": round_no})
+        result.unpersist()
+        new_urls.unpersist()
+        return summary
+
+    def run(self, max_rounds=100):
+        """Bootstrap-or-resume, then crawl until the frontier drains."""
+        last = self.recover()
+        # bootstrap keys on the frontier table: a rounds row without a
+        # frontier (half-written state) must still bootstrap
+        if last < 0 and not self.t_frontier.exists():
+            self.bootstrap()
+            last = -1
+        summaries = []
+        r = last + 1
+        while r < max_rounds:
+            s = self.run_round(r)
+            summaries.append(s)
+            if s["n_dequeued"] == 0:
+                break
+            r += 1
+        return summaries
+
+    # ------------------------------------------------------------------ schema
+
+    def _crawl_schema(self):
+        # plumbing columns are underscore-prefixed so they can never
+        # collide with user-config field names
+        fields = [
+            StructField("_kind", StringType()),
+            StructField("_page_url", StringType()),
+            StructField("_host", StringType()),
+            StructField("_fetch_ts", DoubleType()),
+            StructField("_status", StringType()),
+            StructField("_n_items", LongType()),
+            StructField("_n_errors", LongType()),
+            StructField("_item_idx", LongType()),
+            StructField("_outlink", StringType()),
+            StructField("_depth", LongType()),
+        ]
+        for f in item_spark_schema(self._proto).fields:
+            if f.name not in ("page_url", "item_idx", "nr_errors"):
+                fields.append(f)
+        return StructType(fields)
+
+    def _crawl_arrow_schema(self):
+        import pyarrow as pa
+
+        base = [
+            pa.field("_kind", pa.string()),
+            pa.field("_page_url", pa.string()),
+            pa.field("_host", pa.string()),
+            pa.field("_fetch_ts", pa.float64()),
+            pa.field("_status", pa.string()),
+            pa.field("_n_items", pa.int64()),
+            pa.field("_n_errors", pa.int64()),
+            pa.field("_item_idx", pa.int64()),
+            pa.field("_outlink", pa.string()),
+            pa.field("_depth", pa.int64()),
+        ]
+        for f in _arrow_schema(self._proto):
+            if f.name not in ("page_url", "item_idx", "nr_errors"):
+                base.append(f)
+        return pa.schema(base)
+
+
+def _blank_fields(fcols):
+    return {name: None for name, _ in fcols}
+
+
+def _fetch_row(url, host, ts, status, n_items, n_errors, fcols):
+    return {"_kind": "fetch", "_page_url": url, "_host": host,
+            "_fetch_ts": ts, "_status": status, "_n_items": n_items,
+            "_n_errors": n_errors, "_item_idx": None, "_outlink": None,
+            "_depth": None, **_blank_fields(fcols)}
+
+
+def _outlink_row(url, host, outlink, depth, fcols):
+    return {"_kind": "outlink", "_page_url": url, "_host": host,
+            "_fetch_ts": None, "_status": None, "_n_items": None,
+            "_n_errors": None, "_item_idx": None, "_outlink": outlink,
+            "_depth": depth, **_blank_fields(fcols)}
+
+
+def _item_row(url, host, idx, item, fcols):
+    row = {"_kind": "item", "_page_url": url, "_host": host,
+           "_fetch_ts": None, "_status": None, "_n_items": None,
+           "_n_errors": None, "_item_idx": idx, "_outlink": None,
+           "_depth": None}
+    from datetime import timezone as _tz
+
+    for name, kind in fcols:
+        v = item.get(name)
+        if kind == "ts" and v is not None:
+            v = v.astimezone(_tz.utc) if v.tzinfo else v.replace(tzinfo=_tz.utc)
+        row[name] = v
+    return row
+
+
+def _crawl_batch(rows, arrow_schema):
+    cols = {f.name: [] for f in arrow_schema}
+    for r in rows:
+        for k in cols:
+            cols[k].append(r.get(k))
+    return pa.RecordBatch.from_arrays(
+        [pa.array(cols[f.name], type=f.type) for f in arrow_schema],
+        schema=arrow_schema)

@@ -1,0 +1,121 @@
+"""Snapshot tables: Iceberg-semantics storage on plain parquet.
+
+This container has no Iceberg runtime jars, so the engine implements the
+subset of Iceberg semantics the north rule needs — O(1) appends (a new
+snapshot references old files plus new ones; data is never rewritten),
+snapshot isolation, time travel, and atomic commits (manifest written
+then HEAD renamed) — over parquet files. The storage layout is
+deliberately manifest-based so swapping in real Iceberg is a matter of
+replacing this module with ``df.writeTo(...)`` calls.
+
+Layout:
+    root/<table>/files/part-<snap>-*.parquet
+    root/<table>/manifest-<snap>.json   {snapshot, parent, files, meta}
+    root/<table>/HEAD                   latest snapshot number (atomic)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+
+
+class SnapshotTable:
+    def __init__(self, root: str, name: str):
+        self.dir = os.path.join(root, name)
+        self.files_dir = os.path.join(self.dir, "files")
+        os.makedirs(self.files_dir, exist_ok=True)
+
+    # --- snapshot bookkeeping -------------------------------------------------
+
+    def head(self):
+        p = os.path.join(self.dir, "HEAD")
+        if not os.path.exists(p):
+            return 0
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def manifest(self, snapshot=None):
+        snap = snapshot if snapshot is not None else self.head()
+        if snap == 0:
+            return {"snapshot": 0, "parent": None, "files": [], "meta": {}}
+        with open(os.path.join(self.dir, f"manifest-{snap:06d}.json")) as f:
+            return json.load(f)
+
+    def snapshots(self):
+        out = []
+        s = self.head()
+        while s:
+            m = self.manifest(s)
+            out.append(m)
+            s = m["parent"] or 0
+        return list(reversed(out))
+
+    def _commit(self, files, meta, mode, parent=None):
+        parent = self.head() if parent is None else parent
+        snap = parent + 1
+        if mode == "append":
+            files = self.manifest(parent)["files"] + files
+        m = {"snapshot": snap, "parent": parent, "files": files,
+             "meta": meta or {}}
+        mpath = os.path.join(self.dir, f"manifest-{snap:06d}.json")
+        with open(mpath, "w") as f:
+            json.dump(m, f)
+        tmp = os.path.join(self.dir, f".HEAD.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(snap))
+        os.replace(tmp, os.path.join(self.dir, "HEAD"))  # atomic commit
+        return snap
+
+    # --- data -------------------------------------------------------------------
+
+    def _write_files(self, df, snap_hint):
+        tmp = tempfile.mkdtemp(prefix="snapw-", dir=self.dir)
+        try:
+            df.write.mode("overwrite").parquet(os.path.join(tmp, "d"))
+            out = []
+            for fn in sorted(os.listdir(os.path.join(tmp, "d"))):
+                if fn.endswith(".parquet"):
+                    dst = f"part-{snap_hint:06d}-{uuid.uuid4().hex}.parquet"
+                    shutil.move(os.path.join(tmp, "d", fn),
+                                os.path.join(self.files_dir, dst))
+                    out.append(os.path.join("files", dst))
+            return out
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def append(self, df, meta=None):
+        files = self._write_files(df, self.head() + 1)
+        return self._commit(files, meta, "append")
+
+    def overwrite(self, df, meta=None):
+        files = self._write_files(df, self.head() + 1)
+        return self._commit(files, meta, "overwrite")
+
+    def commit_meta(self, meta):
+        """New snapshot with unchanged data, new meta (round markers)."""
+        return self._commit(self.manifest()["files"], meta, "overwrite")
+
+    def read(self, spark, snapshot=None, schema=None):
+        m = self.manifest(snapshot)
+        paths = [os.path.join(self.dir, f) for f in m["files"]]
+        if not paths:
+            if schema is not None:
+                return spark.createDataFrame([], schema)
+            return None
+        return spark.read.parquet(*paths)
+
+    def exists(self):
+        return self.head() > 0
+
+
+class SnapshotStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def table(self, name: str) -> SnapshotTable:
+        return SnapshotTable(self.root, name)
