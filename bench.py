@@ -51,9 +51,10 @@ def make_spark(cores):
 def crawl_spec():
     from goskyr_spark.synth import SynthSpec
 
-    # ~6.6k pages at sf0.1 in ~5 rounds; scales linearly with sf
-    n_hosts = max(6, int(300 * SF / 0.1))
-    return SynthSpec(n_hosts=n_hosts, pages_per_host=3, items_per_page=6,
+    # wide + shallow: ~3 fat rounds (per-round fixed overhead amortizes);
+    # ~14k pages at sf0.1, scales linearly with sf
+    n_hosts = max(8, int(500 * SF / 0.1))
+    return SynthSpec(n_hosts=n_hosts, pages_per_host=2, items_per_page=12,
                      hot_hosts=max(1, n_hosts // 100), hot_factor=4)
 
 

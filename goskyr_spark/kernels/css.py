@@ -64,10 +64,7 @@ class Compound:
                 if eid != i:
                     return False
         if self.classes:
-            cls = el.attrs.get("class")
-            if not cls:
-                return False
-            cset = cls.split()
+            cset = el.class_set()
             for c in self.classes:
                 if c not in cset:
                     return False
@@ -230,6 +227,21 @@ def _compile(src):
     return _parse_selector(src)
 
 
+@lru_cache(maxsize=4096)
+def _fast_compound(src):
+    """For the overwhelmingly common 'tag.class' / '.class' / 'tag'
+    selectors, return (tag|None, classes frozenset) for an inlined match
+    loop; None when the selector needs the general engine."""
+    groups = _compile(src)
+    if len(groups) != 1 or len(groups[0]) != 1:
+        return None
+    comp = groups[0][0][1]
+    if comp.ids or comp.attrs or comp.pseudos:
+        return None
+    return (None if comp.tag in (None, "*") else comp.tag,
+            frozenset(comp.classes))
+
+
 def _complex_matches(el, cx):
     """Match one complex selector (right-to-left walk up the tree)."""
     comb, comp = cx[-1]
@@ -289,15 +301,36 @@ def find(roots, selector):
     in document order, de-duplicated (goquery Selection.Find)."""
     if not isinstance(roots, (list, tuple)):
         roots = [roots]
-    groups = _compile(selector)
+    fast = _fast_compound(selector)
     out = []
-    seen = set()
+    seen = None if len(roots) == 1 else set()
+    if fast is not None:
+        tag, classes = fast
+        for root in roots:
+            stack = list(reversed(root.children))
+            while stack:
+                n = stack.pop()
+                if n.children:
+                    stack.extend(reversed(n.children))
+                if n.type != ELEMENT:
+                    continue
+                if tag is not None and n.tag != tag:
+                    continue
+                if classes and not classes <= n.class_set():
+                    continue
+                if seen is not None:
+                    if id(n) in seen:
+                        continue
+                    seen.add(id(n))
+                out.append(n)
+        return out
+    groups = _compile(selector)
     for root in roots:
         for el in root.iter_elements():
-            key = id(el)
-            if key in seen:
-                continue
             if any(_complex_matches(el, cx) for cx in groups):
-                seen.add(key)
+                if seen is not None:
+                    if id(el) in seen:
+                        continue
+                    seen.add(id(el))
                 out.append(el)
     return out

@@ -53,7 +53,8 @@ _LI_LIKE = {"li": frozenset(["li"]),
 class Node:
     """One DOM node. ``type`` is ELEMENT/TEXT/COMMENT/DOCUMENT."""
 
-    __slots__ = ("type", "tag", "attrs", "data", "children", "parent")
+    __slots__ = ("type", "tag", "attrs", "data", "children", "parent",
+                 "_cset")
 
     def __init__(self, type_, tag="", attrs=None, data=""):
         self.type = type_
@@ -62,6 +63,16 @@ class Node:
         self.data = data
         self.children = []
         self.parent = None
+        self._cset = None
+
+    def class_set(self):
+        """Cached frozenset of the class attribute (hot path for CSS)."""
+        s = self._cset
+        if s is None:
+            cls = self.attrs.get("class")
+            s = frozenset(cls.split()) if cls else frozenset()
+            self._cset = s
+        return s
 
     def append(self, child):
         child.parent = self

@@ -20,6 +20,7 @@ tables, including:
 from __future__ import annotations
 
 from datetime import datetime, timezone
+from functools import lru_cache
 
 try:
     from zoneinfo import ZoneInfo
@@ -61,6 +62,7 @@ L_FRAC_9 = ".9"
 _STD_TOKENS = set()  # populated below for literal detection
 
 
+@lru_cache(maxsize=2048)
 def chunk_layout(layout):
     """Split a Go layout into [(kind, text)] where kind is 'std' or 'lit'."""
     out = []
@@ -237,6 +239,7 @@ def _lookup_name(value, names):
     return best[0], value[best[1]:]
 
 
+@lru_cache(maxsize=64)
 def _month_candidates(locale, long):
     tbl = _MONTHS_LONG if long else _MONTHS_SHORT
     cands = []
@@ -251,6 +254,7 @@ def _month_candidates(locale, long):
     return cands
 
 
+@lru_cache(maxsize=64)
 def _day_candidates(locale, long):
     tbl = _DAYS_LONG if long else _DAYS_SHORT
     cands = []

@@ -303,6 +303,21 @@ class CrawlEngine:
                                         how="left_anti")
         return definitely_new.unionByName(confirmed_new)
 
+    def _robots_df(self):
+        """Per-host robots.txt bodies — computed once per engine and
+        cached (it is a tiny per-host table; rescanning pages per round
+        would be a full-table scan)."""
+        if getattr(self, "_robots_cache_df", None) is None:
+            self._robots_cache_df = (
+                self.pages
+                .withColumn("_h", F.expr("parse_url(url, 'HOST')"))
+                .filter(F.col("url") == F.concat(F.lit("https://"),
+                                                 F.col("_h"),
+                                                 F.lit("/robots.txt")))
+                .select(F.col("_h").alias("host"),
+                        F.col("html").alias("_robots"))).cache()
+        return self._robots_cache_df
+
     # ------------------------------------------------------------------ round
 
     def run_round(self, round_no: int):
@@ -323,27 +338,27 @@ class CrawlEngine:
                     .orderBy("priority", "url")
                     .limit(self.round_budget))
 
+        dequeued = dequeued.cache()
         n_dequeued = dequeued.count()
         if n_dequeued == 0:
+            dequeued.unpersist()
             self.t_rounds.append(spark.createDataFrame(
                 [(round_no, 0, 0, 0, 0, 0, time.time() - t0)], ROUNDS_SCHEMA),
                 {"round": round_no})
             return {"round": round_no, "n_dequeued": 0}
 
-        # skew: count per host; hot hosts get salted sub-partitions AFTER
-        # the politeness schedule is fixed (salt only parallelizes parsing)
-        host_counts = dequeued.groupBy("host").count()
-        hot_hosts = {r["host"] for r in host_counts
-                     .filter(F.col("count") > self.salt_threshold).collect()}
+        # skew: hot hosts get salted sub-partitions AFTER the politeness
+        # schedule is fixed (salting only parallelizes fetch/parse). The
+        # detection groupBy only pays for itself when a host COULD exceed
+        # the threshold.
+        hot_hosts = set()
+        if n_dequeued > self.salt_threshold:
+            host_counts = dequeued.groupBy("host").count()
+            hot_hosts = {r["host"] for r in host_counts
+                         .filter(F.col("count") > self.salt_threshold)
+                         .collect()}
 
-        # robots rules per host from the pages table
-        robots_df = (self.pages
-                     .withColumn("_h", F.expr("parse_url(url, 'HOST')"))
-                     .filter(F.col("url") == F.concat(F.lit("https://"),
-                                                      F.col("_h"),
-                                                      F.lit("/robots.txt")))
-                     .select(F.col("_h").alias("host"),
-                             F.col("html").alias("_robots")))
+        robots_df = self._robots_df()
 
         work = (dequeued
                 .join(self.pages.select(F.col("url"),
@@ -435,11 +450,17 @@ class CrawlEngine:
                 if rows:
                     yield _crawl_batch(rows, arrow_out)
 
-        n_fetch_parts = self.fetch_partitions
+        # partition count adapts to the round size (a 700-url round must
+        # not pay 64 task launches); politeness only needs host-locality,
+        # which hash-partitioning on (host, _salt) gives at any width
+        n_fetch_parts = max(1, min(self.fetch_partitions,
+                                   (n_dequeued + 15) // 16))
         result = (work.repartition(n_fetch_parts, "host", "_salt")
                   .sortWithinPartitions("host", "priority", "url")
                   .mapInArrow(fetch_extract, out_schema)).cache()
         result.count()  # materialize once; downstream reuses
+        dequeued.unpersist()
+        out_coalesce = max(1, min(n_fetch_parts, n_dequeued // 50_000 + 1))
 
         # --- commit: items
         items = (result.filter("_kind = 'item'")
@@ -447,7 +468,7 @@ class CrawlEngine:
                          F.col("_item_idx").alias("item_idx"),
                          *[n for n, _ in fcols],
                          F.lit(round_no).cast("long").alias("round")))
-        self.t_items.append(items, {"round": round_no})
+        self.t_items.append(items.coalesce(out_coalesce), {"round": round_no})
 
         # --- commit: fetched (+ deterministic global fetch_seq)
         worder = Window.orderBy("fetch_ts", "host", "url")
@@ -462,8 +483,10 @@ class CrawlEngine:
                       .withColumn("round", F.lit(round_no).cast("long"))
                       .withColumn("fetch_seq",
                                   F.row_number().over(worder).cast("long")))
-        self.t_fetched.append(fetch_rows.select(
-            *[f.name for f in FETCHED_SCHEMA.fields]), {"round": round_no})
+        fetch_rows = fetch_rows.select(
+            *[f.name for f in FETCHED_SCHEMA.fields]).cache()
+        self.t_fetched.append(fetch_rows.coalesce(out_coalesce),
+                              {"round": round_no})
 
         # --- outlinks → seen-set → new frontier rows
         outlinks = (result.filter("_kind = 'outlink'")
@@ -478,11 +501,14 @@ class CrawlEngine:
                     .select(*[f.name for f in FRONTIER_SCHEMA.fields]))
         new_urls = self._filter_new_urls(outlinks, round_no).cache()
         n_new = new_urls.count()
+        new_coalesce = max(1, min(self.n_slabs, n_new // 50_000 + 1))
         if n_new:
-            self.t_frontier.append(new_urls, {"round": round_no})
+            self.t_frontier.append(new_urls.coalesce(new_coalesce),
+                                   {"round": round_no})
             self.t_seen.append(
                 new_urls.select("url", "url_hash",
-                                F.lit(round_no).cast("long").alias("round")),
+                                F.lit(round_no).cast("long").alias("round"))
+                .coalesce(new_coalesce),
                 {"round": round_no})
             self._update_slabs(new_urls.select("url", "url_hash"), round_no)
         else:
@@ -490,37 +516,37 @@ class CrawlEngine:
             for t in (self.t_frontier, self.t_seen, self.t_slabs):
                 t.commit_meta({"round": round_no})
 
-        # --- per-partition lineage metrics
-        stats = fetch_rows.groupBy(F.spark_partition_id().alias("partition")) \
-            .agg(F.count("*").alias("n_fetched"),
-                 F.sum("n_items").alias("n_items"),
-                 F.sum("n_errors").alias("n_errors"))
+        # --- per-partition lineage metrics (one small collect; the round
+        # summary derives from the same rows driver-side — no extra job)
         started = datetime.now(timezone.utc)
-        metrics = stats.select(
-            F.lit(round_no).cast("long").alias("round"),
-            F.col("partition").cast("long"),
-            F.col("n_fetched").cast("long"),
-            F.col("n_items").cast("long"), F.col("n_errors").cast("long"),
-            F.lit(started).alias("started"),
-            F.lit(datetime.now(timezone.utc)).alias("ended"))
-        self.t_metrics.append(metrics, {"round": round_no})
+        stats = (fetch_rows.groupBy(
+            F.spark_partition_id().alias("partition"))
+            .agg(F.count("*").alias("n_fetched"),
+                 F.sum(F.when(F.col("status") == "ok", 1).otherwise(0))
+                 .alias("n_ok"),
+                 F.sum("n_items").alias("n_items"),
+                 F.sum("n_errors").alias("n_errors"))).collect()
+        ended = datetime.now(timezone.utc)
+        metrics_rows = [(round_no, int(r["partition"]), int(r["n_fetched"]),
+                         int(r["n_items"] or 0), int(r["n_errors"] or 0),
+                         started, ended) for r in stats]
+        self.t_metrics.append(
+            spark.createDataFrame(metrics_rows, METRICS_SCHEMA),
+            {"round": round_no})
 
-        agg = fetch_rows.agg(
-            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
-            F.sum("n_items").alias("items"),
-            F.sum("n_errors").alias("errors")).collect()[0]
         summary = {
             "round": round_no,
             "n_dequeued": n_dequeued,
-            "n_fetched_ok": int(agg["ok"] or 0),
-            "n_items": int(agg["items"] or 0),
-            "n_errors": int(agg["errors"] or 0),
+            "n_fetched_ok": sum(int(r["n_ok"] or 0) for r in stats),
+            "n_items": sum(int(r["n_items"] or 0) for r in stats),
+            "n_errors": sum(int(r["n_errors"] or 0) for r in stats),
             "n_new_urls": n_new,
             "wall_secs": time.time() - t0,
         }
         self.t_rounds.append(spark.createDataFrame(
             [tuple(summary.values())], ROUNDS_SCHEMA), {"round": round_no})
         result.unpersist()
+        fetch_rows.unpersist()
         new_urls.unpersist()
         return summary
 

@@ -1,0 +1,103 @@
+"""Fetcher strategies — parity with /root/reference/internal/fetch/.
+
+The crawl engine's contract is "urls in → (url, html) out"; in the
+distributed plan that is a join against a pages table (mock mode, the
+test/bench path). These classes provide the same strategy surface as the
+reference factory (fetcher.go:17-78) for live use:
+
+- StaticFetcher: HTTP GET with the default goskyr User-Agent and
+  ``Accept: */*``; non-200 → error (staticfetcher.go:24-54).
+- DynamicFetcher: headless-browser fetcher — NOT implementable in this
+  container (no Chrome); the class preserves the interface and raises.
+- MockFetcher: url→content map from config mock_pages
+  (mockfetcher.go:15-35).
+
+``fetch_partition`` is the executor-side hook: given an iterator of
+(url, host, delay) within ONE host-partition, it enforces the per-host
+crawl-delay with real sleeps (live mode) — the virtual-clock politeness
+used by the mock path becomes wall-clock here.
+"""
+
+from __future__ import annotations
+
+import time
+
+DEFAULT_USER_AGENT = "goskyr web scraper (github.com/jakopako/goskyr)"
+
+
+class FetchError(Exception):
+    pass
+
+
+class StaticFetcher:
+    def __init__(self, user_agent: str = "", timeout: float = 30.0):
+        self.user_agent = user_agent or DEFAULT_USER_AGENT
+        self.timeout = timeout
+
+    def fetch(self, url: str) -> str:
+        import requests
+
+        resp = requests.get(
+            url,
+            headers={"User-Agent": self.user_agent, "Accept": "*/*"},
+            timeout=self.timeout)
+        if resp.status_code != 200:
+            # reference: fmt.Errorf("status code error: %d %s", ...)
+            raise FetchError(
+                f"status code error: {resp.status_code} {resp.reason}")
+        return resp.text
+
+
+class DynamicFetcher:  # pragma: no cover — interface stub
+    """Browser-rendered fetch (reference: chromedp). No browser exists in
+    this environment; a Playwright-backed implementation plugs in here."""
+
+    def __init__(self, user_agent: str = "", page_load_wait_ms: int = 2000):
+        self.user_agent = user_agent or DEFAULT_USER_AGENT
+        self.page_load_wait_ms = page_load_wait_ms
+
+    def fetch(self, url: str) -> str:
+        raise NotImplementedError(
+            "dynamic (browser) fetching requires a headless browser; "
+            "not available in this environment")
+
+
+class MockFetcher:
+    def __init__(self, mock_pages):
+        # list of {'url':..., 'content':...} like config mock_pages
+        self.pages = {p["url"]: p["content"] for p in mock_pages}
+
+    def fetch(self, url: str) -> str:
+        if url not in self.pages:
+            raise FetchError(f"page {url} not found in mock pages")
+        return self.pages[url]
+
+
+def new_fetcher(fetcher_config):
+    """Factory with the reference's defaults (fetcher.go:17-78)."""
+    ftype = fetcher_config.type or "static"
+    if ftype == "static":
+        return StaticFetcher(fetcher_config.user_agent)
+    if ftype == "dynamic":
+        return DynamicFetcher(fetcher_config.user_agent)
+    if ftype == "mock":
+        return MockFetcher(fetcher_config.mock_pages)
+    raise ValueError(f"fetcher type '{ftype}' does not exist")
+
+
+def fetch_partition(rows, fetcher, default_delay: float = 0.0):
+    """Live-mode partition fetch loop: rows of (url, host, crawl_delay);
+    sleeps enforce politeness because host-hash partitioning guarantees
+    a host lives in exactly one partition. Yields (url, html|None, error)."""
+    last_at = {}
+    for url, host, delay in rows:
+        d = delay if delay is not None else default_delay
+        now = time.monotonic()
+        wait = last_at.get(host, -1e18) + d - now
+        if wait > 0:
+            time.sleep(wait)
+        last_at[host] = time.monotonic()
+        try:
+            yield url, fetcher.fetch(url), None
+        except Exception as e:  # per-scraper isolation (main.go:198-202)
+            yield url, None, str(e)
