@@ -13,7 +13,7 @@ import argparse
 import sys
 from concurrent.futures import ThreadPoolExecutor
 
-from .config import load_config
+from .config import ConfigError, load_config
 from .io.writers import item_to_json, write_items_file, write_status_file
 from .kernels.scrape import scrape_local
 
@@ -103,6 +103,39 @@ def cmd_crawl(args):
     return 0
 
 
+def cmd_generate(args):
+    import dataclasses
+
+    import yaml
+
+    from .ops.autoconfig import generate_and_verify
+
+    html = open(args.file, encoding="utf-8").read()
+    scraper, items = generate_and_verify(html, args.url,
+                                         min_occ=args.min_occ)
+    if scraper is None:
+        print("no repeating fields found", file=sys.stderr)
+        return 1
+
+    def clean(obj):
+        if dataclasses.is_dataclass(obj):
+            out = {}
+            for f in dataclasses.fields(obj):
+                v = clean(getattr(obj, f.name))
+                if v not in ("", [], {}, None, False, 0):
+                    out[f.name] = v
+            return out
+        if isinstance(obj, list):
+            return [clean(x) for x in obj]
+        return obj
+
+    print(yaml.safe_dump({"scrapers": [clean(scraper)]}, sort_keys=False,
+                         allow_unicode=True))
+    print(f"# verified: {len(items)} items extracted from the sample page",
+          file=sys.stderr)
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="goskyr_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -116,6 +149,13 @@ def main(argv=None):
     pl.add_argument("-c", "--config", default="./config.yml")
     pl.set_defaults(fn=cmd_list)
 
+    pg = sub.add_parser("generate",
+                        help="infer a scraper config from a sample page")
+    pg.add_argument("--file", required=True, help="local HTML file")
+    pg.add_argument("--url", default="https://sample.test/")
+    pg.add_argument("--min-occ", type=int, default=5)
+    pg.set_defaults(fn=cmd_generate)
+
     pc = sub.add_parser("crawl", help="run crawl rounds over a pages table")
     pc.add_argument("--workdir", required=True)
     pc.add_argument("--pages", default="", help="parquet pages table path")
@@ -126,7 +166,14 @@ def main(argv=None):
     pc.set_defaults(fn=cmd_crawl)
 
     args = p.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except ConfigError as e:
+        print(f"config error: {e}", file=sys.stderr)
+        return 1
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

@@ -11,6 +11,14 @@ def get_spark(app="goskyr_spark", master=None, shuffle_partitions=None,
               extra_conf=None):
     """local[$SPARK_GRAFT_CPUS] by default; UTC session tz (date parity),
     AQE on (skew joins at scale), Arrow enabled."""
+    # make the package importable in executor Python workers regardless of
+    # the caller's cwd (equivalent of spark-submit --py-files for local mode)
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(":"):
+        os.environ["PYTHONPATH"] = f"{repo_root}:{pp}" if pp else repo_root
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:

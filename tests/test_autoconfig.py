@@ -1,0 +1,70 @@
+"""Autoconfig generator (G1-G7) tests: field discovery, item-selector
+inference, type detection, and the round-trip self-check — on both the
+synthetic event page and the reference's own mock page."""
+
+import sys, os
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from fixtures_html import MOCK_PAGE
+
+from goskyr_spark.ops.autoconfig import (
+    discover_fields,
+    generate_and_verify,
+    infer_scraper,
+)
+from goskyr_spark.synth import SynthSpec
+
+
+def _event_page():
+    spec = SynthSpec(n_hosts=2, pages_per_host=2, items_per_page=6)
+    row = spec.row(1)
+    return row["url"], row["html"].decode()
+
+
+def test_discover_fields_event_page():
+    _, html = _event_page()
+    _, cands = discover_fields(html, min_occ=5)
+    kinds = {(c["attr"] or "text"): c for c in cands}
+    assert "href" in kinds
+    assert any(c["count"] == 6 for c in cands)
+    assert len(cands) == 4  # href, tag, title, when
+
+
+def test_generate_and_verify_event_page():
+    url, html = _event_page()
+    scraper, items = generate_and_verify(html, url, min_occ=5)
+    assert scraper is not None
+    assert scraper.item.endswith("div.event")
+    types = sorted((f.type or "text") for f in scraper.fields)
+    assert types == ["date", "text", "text", "url"]
+    assert len(items) == 6
+    # url fields got absolutized against the page url
+    url_field = next(f for f in scraper.fields if f.type == "url")
+    assert items[0][url_field.name].startswith("https://host0000.test/")
+
+
+def test_generate_mock_page():
+    """The reference's config-mock page: 3 artists with names and dates
+    (min_occ=3 like passing --min 3)."""
+    scraper, items = generate_and_verify(MOCK_PAGE, "https://mock.url",
+                                         min_occ=3)
+    assert scraper is not None
+    assert len(items) == 3
+    vals = [sorted(str(v) for k, v in it.items() if not k.startswith("_"))
+            for it in items]
+    flat = " | ".join(v for vs in vals for v in vs)
+    assert "Final Story" in flat and "Irony of Fate" in flat
+
+
+def test_labeler_hook():
+    url, html = _event_page()
+    scraper = infer_scraper(html, url, min_occ=5,
+                            labeler=lambda ex, i: f"col{i}")
+    assert [f.name for f in scraper.fields] == [f"col{i}" for i in range(4)]
+
+
+def test_no_fields():
+    scraper, items = generate_and_verify("<html><body><p>once</p></body>",
+                                         min_occ=5)
+    assert scraper is None and items == []
