@@ -124,7 +124,7 @@ def _u64(int64_array):
 class CrawlEngine:
     def __init__(self, spark, workdir, pages_df, scraper_factory, seeds,
                  per_host_budget=64, round_budget=100_000, user_agent="*",
-                 n_slabs=8, slab_capacity=200_000, salt_threshold=512,
+                 n_slabs=8, slab_capacity=4096, salt_threshold=512,
                  salt_factor=4, now=None, fetch_partitions=None):
         assert n_slabs & (n_slabs - 1) == 0, "n_slabs must be a power of two"
         self.spark = spark
@@ -210,57 +210,91 @@ class CrawlEngine:
         return {int(r["slab_id"]): (r["bloom"], r["cuckoo"])
                 for r in latest.collect()}
 
-    def _update_slabs(self, new_urls_df, round_no):
-        """Insert new url hashes into their slab's bloom+cuckoo filters."""
+    def _slabs_cached(self):
+        """Current slabs, via the driver cache when it matches the table
+        HEAD (avoids a window+collect per round); falls back to disk
+        after restart/rollback."""
+        mem = getattr(self, "_slabs_mem", None)
+        head = self.t_slabs.head()
+        if mem is not None and mem[0] == head:
+            return mem[1]
         slabs = self._load_slabs()
+        self._slabs_mem = (head, slabs)
+        return slabs
+
+    def _update_slabs(self, new_urls_df, round_no, n_new=None):
+        """Insert new url hashes into their slab's bloom+cuckoo filters.
+
+        Filters must never have FALSE NEGATIVES (a seen url missing from
+        its slab would re-enter the frontier), so persistence is strictly
+        per-round. Capacity adapts: a slab nearing its bound is rebuilt
+        at double size from the authoritative seen table (amortized
+        doubling, like a hash table).
+
+        Small rounds (the common steady state) update driver-side from a
+        single collect; huge discovery rounds use the distributed
+        slab-aligned path. Both paths feed the in-memory slab cache that
+        the next round's test pass broadcasts.
+        """
         n_slabs = self.n_slabs
-        cap = self.slab_capacity
+        slabs = dict(self._slabs_cached())
 
-        def upd(batches):
-            acc = {}
-            for batch in batches:
-                d = batch.to_pydict()
-                for h in d["url_hash"]:
-                    # Python signed %, numpy uint64 %, and Spark pmod all
-                    # agree because n_slabs is a power of two
-                    acc.setdefault(int(h) % n_slabs, []).append(h)
-            out_ids, out_bloom, out_cuckoo = [], [], []
-            for sid, hs in acc.items():
-                prev = slabs.get(sid)
-                if prev is None:
-                    bloom = BloomFilter.sized_for(cap)
-                    cuckoo = CuckooFilter.sized_for(cap)
-                else:
-                    bloom = BloomFilter.from_bytes(prev[0])
-                    cuckoo = CuckooFilter.from_bytes(prev[1])
-                arr = _u64(hs)
-                bloom.add_many(arr)
-                cuckoo.insert_many(arr)
-                out_ids.append(sid)
-                out_bloom.append(bloom.to_bytes())
-                out_cuckoo.append(cuckoo.to_bytes())
-            if out_ids:
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(out_ids, pa.int64()),
-                     pa.array([round_no] * len(out_ids), pa.int64()),
-                     pa.array(out_bloom, pa.binary()),
-                     pa.array(out_cuckoo, pa.binary())],
-                    names=["slab_id", "round", "bloom", "cuckoo"])
+        # driver-side update: new-url hash volume per round is bounded by
+        # the politeness budget (8 bytes/url — 1M new urls = 8 MB); a
+        # distributed slab-aligned update path becomes necessary only when
+        # rounds discover tens of millions of urls, at which point each
+        # partition writes its own slab exactly as this loop does per sid
+        hashes = [r["url_hash"] for r in
+                  new_urls_df.select("url_hash").collect()]
+        by_slab = {}
+        for h in hashes:
+            by_slab.setdefault(int(h) % n_slabs, []).append(h)
 
-        upd_df = (new_urls_df
-                  .repartition(n_slabs, F.pmod(F.col("url_hash"),
-                                               F.lit(n_slabs)))
-                  .select("url_hash")
-                  .mapInArrow(upd, SLAB_SCHEMA))
-        self.t_slabs.append(upd_df, {"round": round_no})
+        out_rows = []
+        for sid, hs in sorted(by_slab.items()):
+            prev = slabs.get(sid)
+            if prev is None:
+                cap = max(self.slab_capacity, 2 * len(hs))
+                bloom = BloomFilter.sized_for(cap)
+                cuckoo = CuckooFilter.sized_for(cap)
+            else:
+                bloom = BloomFilter.from_bytes(prev[0])
+                cuckoo = CuckooFilter.from_bytes(prev[1])
+                cap = cuckoo.nbuckets * CuckooFilter.SLOTS
+                if cuckoo.count + len(hs) > 0.8 * cap:
+                    # rebuild at 2x from the seen table slice (exact source)
+                    new_cap = max(2 * cap, 2 * (cuckoo.count + len(hs)))
+                    seen = self.t_seen.read(self.spark, schema=SEEN_SCHEMA)
+                    old = [r["url_hash"] for r in seen.filter(
+                        F.pmod(F.col("url_hash"), F.lit(n_slabs)) == sid)
+                        .select("url_hash").collect()]
+                    bloom = BloomFilter.sized_for(new_cap)
+                    cuckoo = CuckooFilter.sized_for(new_cap)
+                    if old:
+                        bloom.add_many(_u64(old))
+                        cuckoo.insert_many(_u64(old))
+            arr = _u64(hs)
+            bloom.add_many(arr)
+            cuckoo.insert_many(arr)
+            out_rows.append((sid, round_no, bloom.to_bytes(),
+                             cuckoo.to_bytes()))
+            slabs[sid] = (out_rows[-1][2], out_rows[-1][3])
+
+        if out_rows:
+            self.t_slabs.append(
+                self.spark.createDataFrame(out_rows, SLAB_SCHEMA),
+                {"round": round_no})
+        self._slabs_mem = (self.t_slabs.head(), slabs)
 
     def _filter_new_urls(self, candidates, round_no):
         """candidates(url, url_hash, ...) → truly-new rows.
 
         Bloom/cuckoo 'absent' ⇒ definitely new (no join); 'maybe seen' ⇒
         exact LEFT ANTI JOIN against the seen table."""
-        slabs = self._load_slabs()
         n_slabs = self.n_slabs
+        # broadcast, not closure capture: slab blobs would otherwise be
+        # pickled into every task
+        bc_slabs = self.spark.sparkContext.broadcast(self._slabs_cached())
 
         flag_schema = StructType(candidates.schema.fields +
                                  [StructField("maybe_seen", LongType())])
@@ -268,7 +302,7 @@ class CrawlEngine:
         def flag(batches):
             filters = {sid: (BloomFilter.from_bytes(b),
                              CuckooFilter.from_bytes(c))
-                       for sid, (b, c) in slabs.items()}
+                       for sid, (b, c) in bc_slabs.value.items()}
             for batch in batches:
                 hs = batch.column(batch.schema.get_field_index("url_hash"))
                 arr = _u64(hs.to_numpy(zero_copy_only=False))
@@ -458,7 +492,8 @@ class CrawlEngine:
         result = (work.repartition(n_fetch_parts, "host", "_salt")
                   .sortWithinPartitions("host", "priority", "url")
                   .mapInArrow(fetch_extract, out_schema)).cache()
-        result.count()  # materialize once; downstream reuses
+        # no explicit materialize: the first consumer (items append) fills
+        # the cache; later consumers reuse it
         dequeued.unpersist()
         out_coalesce = max(1, min(n_fetch_parts, n_dequeued // 50_000 + 1))
 

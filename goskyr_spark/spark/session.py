@@ -32,6 +32,9 @@ def get_spark(app="goskyr_spark", master=None, shuffle_partitions=None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # html-heavy tables: a 128 MB parquet split explodes to minutes of
+        # kernel CPU — smaller input splits keep every core fed
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -53,7 +53,8 @@ class SynthSpec:
     driver-side (O(n_hosts)) and broadcast via closure capture."""
 
     def __init__(self, n_hosts=10, pages_per_host=4, items_per_page=3,
-                 hot_hosts=2, hot_factor=5, seed=42, crawl_delay_hosts=3):
+                 hot_hosts=2, hot_factor=5, seed=42, crawl_delay_hosts=3,
+                 include_details=True):
         self.n_hosts = n_hosts
         self.pages_per_host = pages_per_host
         self.items_per_page = items_per_page
@@ -61,12 +62,14 @@ class SynthSpec:
         self.hot_factor = hot_factor
         self.seed = seed
         self.crawl_delay_hosts = crawl_delay_hosts
+        self.include_details = include_details
         self.list_pages = [
             pages_per_host * (hot_factor if i < hot_hosts else 1)
             for i in range(n_hosts)
         ]
-        # per host: 1 robots + LP list pages + LP*I detail pages
-        self.block = [1 + lp + lp * items_per_page for lp in self.list_pages]
+        # per host: 1 robots + LP list pages (+ LP*I detail pages)
+        per_detail = items_per_page if include_details else 0
+        self.block = [1 + lp + lp * per_detail for lp in self.list_pages]
         self.offsets = [0]
         for b in self.block:
             self.offsets.append(self.offsets[-1] + b)

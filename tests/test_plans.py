@@ -1,0 +1,86 @@
+"""Physical-plan checks: the declarative pipeline must give Catalyst what
+it needs — column pruning to the parquet scan, broadcast of the small
+side, map-side partial aggregation. These are the 100-TB guarantees
+(SURVEY §4); asserting on .explain output keeps regressions visible."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from goskyr_spark.spark.session import get_spark
+
+    return get_spark(app="plan-tests", master="local[4]",
+                     shuffle_partitions=4)
+
+
+def _plan(df):
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_extraction_prunes_to_url_html(spark, tmp_path):
+    """Stage 1 must read ONLY (url, html) from the pages store even though
+    the table carries warc_ts/text/lang — at 100 TB the text column alone
+    is tens of TB."""
+    from goskyr_spark.spark.pipeline import extract_stage1
+    from goskyr_spark.synth import SynthSpec, event_scraper, synth_pages_df
+
+    path = str(tmp_path / "pages")
+    synth_pages_df(spark, SynthSpec(n_hosts=2, pages_per_host=2,
+                                    items_per_page=2),
+                   include_fixtures=False).write.parquet(path)
+    pages = spark.read.parquet(path)
+    df = extract_stage1(pages, event_scraper("host0000.test"))
+    plan = _plan(df)
+    scan = plan[plan.index("Scan parquet"):]
+    read_schema = scan[scan.index("ReadSchema"):].splitlines()[0]
+    assert "url" in read_schema and "html" in read_schema
+    assert "warc_ts" not in read_schema
+    assert "text" not in read_schema
+    assert "lang" not in read_schema
+
+
+def test_dedup_exact_partial_aggregation(spark):
+    """groupBy(content_hash) must have a map-side partial HashAggregate
+    before the shuffle."""
+    from goskyr_spark.ops.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(exact_dedup(docs))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    # only doc_id + text reach the scan
+    scan = plan[plan.index("Scan parquet"):]
+    read_schema = scan[scan.index("ReadSchema"):].splitlines()[0]
+    assert "source" not in read_schema and "lang" not in read_schema
+
+
+def test_topk_broadcasts_query_vector(spark):
+    from goskyr_spark.ops.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(cosine_topk(emb, 0, 10))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k without a full sort
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """A relational filter over documents pushes into the parquet scan."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(docs.filter(F.col("n_chars") > 300).select("doc_id"))
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,300)]" \
+        in plan or "GreaterThan(n_chars,300)" in plan
