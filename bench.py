@@ -58,7 +58,22 @@ def crawl_spec():
                      hot_hosts=max(1, n_hosts // 100), hot_factor=4)
 
 
-def bench_crawl(spark, cores):
+def crawl_state_digest(eng, spark):
+    """Order-sensitive digest of the crawl's observable state: fetch
+    order + statuses + the final seen set."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for r in eng.t_fetched.read(spark).orderBy("round", "fetch_seq") \
+            .select("round", "fetch_seq", "url", "status").collect():
+        h.update(f"{r['round']}|{r['fetch_seq']}|{r['url']}|{r['status']}"
+                 .encode())
+    for r in eng.t_seen.read(spark).orderBy("url").select("url").collect():
+        h.update(r["url"].encode())
+    return h.hexdigest()[:16]
+
+
+def bench_crawl(spark, cores, digest=False):
     from goskyr_spark.spark.crawl import CrawlEngine
     from goskyr_spark.synth import event_scraper, host_name, synth_pages_df
 
@@ -77,8 +92,11 @@ def bench_crawl(spark, cores):
         wall = time.time() - t0
         n_fetched = sum(s.get("n_dequeued", 0) for s in summaries)
         n_items = sum(s.get("n_items", 0) for s in summaries)
-        return {"wall": wall, "urls": n_fetched, "items": n_items,
-                "urls_per_sec": n_fetched / wall if wall else 0.0}
+        out = {"wall": wall, "urls": n_fetched, "items": n_items,
+               "urls_per_sec": n_fetched / wall if wall else 0.0}
+        if digest:
+            out["digest"] = crawl_state_digest(eng, spark)
+        return out
     finally:
         pages.unpersist()
         shutil.rmtree(wd, ignore_errors=True)
@@ -168,7 +186,7 @@ def bench_queries(spark):
 def main():
     # --- full-parallelism run
     spark = make_spark(CPUS)
-    crawl_big = bench_crawl(spark, CPUS)
+    crawl_big = bench_crawl(spark, CPUS, digest=True)
     extract_big = bench_extract(spark, CPUS)
     per_query = bench_queries(spark)
     spark.stop()
@@ -188,6 +206,10 @@ def main():
         spark3.stop()
         spark2 = make_spark(small)
         fe_small = bench_fetch_extract(spark2, small)
+        # crawl-ordering determinism across cluster sizes (north rule):
+        # the same crawl at the small width must produce the identical
+        # fetch order + seen set
+        crawl_small = bench_crawl(spark2, small, digest=True)
         spark2.stop()
         thr_big = fe_big["urls_per_sec"]
         thr_small = fe_small["urls_per_sec"]
@@ -200,6 +222,8 @@ def main():
             "urls_per_sec_big": round(thr_big, 2),
             "efficiency": round((thr_big / thr_small) / (big / small), 3)
             if thr_small else None,
+            "crawl_order_identical":
+                crawl_small.get("digest") == crawl_big.get("digest"),
         }
 
     per_query["crawl_full"] = round(crawl_big["wall"], 3)

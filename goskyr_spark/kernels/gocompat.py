@@ -235,9 +235,38 @@ def go_json_loads(s: str):
 _QUANT = set("*+?")
 
 
+_RE2_UNSUPPORTED = ("(?=", "(?!", "(?<=", "(?<!")
+
+
 def go_compile_regex(pattern: str):
     """re.compile with RE2-ish error text. The reference tests assert the
-    exact Go message for nested repetition (scraper_test.go:530)."""
+    exact Go message for nested repetition (scraper_test.go:530).
+
+    Go's regexp is RE2: no lookaround, no backreferences. Python's re
+    accepts both, so configs relying on them would silently diverge from
+    the reference — reject them with Go's own error text instead."""
+    i = 0
+    in_class = False
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            nxt = pattern[i + 1:i + 2]
+            if not in_class and nxt.isdigit() and nxt != "0":
+                raise GoskyrError(
+                    f"error parsing regexp: invalid escape sequence: `\\{nxt}`")
+            i += 2
+            continue
+        if ch == "[":
+            in_class = True
+        elif ch == "]":
+            in_class = False
+        elif not in_class:
+            for tok in _RE2_UNSUPPORTED:
+                if pattern.startswith(tok, i):
+                    raise GoskyrError(
+                        "error parsing regexp: invalid or unsupported "
+                        f"Perl syntax: `{tok}`")
+        i += 1
     try:
         return re.compile(pattern)
     except re.error as e:
