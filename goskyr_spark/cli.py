@@ -66,9 +66,21 @@ def cmd_scrape(args):
         if cfg.writer.write_status:
             write_status_file(statuses, cfg.writer.filedir)
         print(f"wrote {len(all_items)} items to {path}", file=sys.stderr)
-    else:  # stdout (default)
+    elif cfg.writer.type == "api":
+        from .io.api_writer import APIWriter
+
+        w = APIWriter(cfg.writer.uri, cfg.writer.user, cfg.writer.password,
+                      cfg.writer.batch_size)
+        n = w.write(all_items)
+        print(f"wrote {n} items from {len(w.deleted_sources)} sources "
+              "to the api", file=sys.stderr)
+    elif cfg.writer.type in ("", "stdout"):
         for item in all_items:
             print(item_to_json(item))
+    else:
+        print(f"writer type '{cfg.writer.type}' does not exist",
+              file=sys.stderr)
+        return 1
     return 0
 
 

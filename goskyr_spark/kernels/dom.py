@@ -227,7 +227,9 @@ _TOK = _re.compile(
     r"<!--(.*?)(?:-->|$)"                                   # 1 comment
     r"|<!([^>]*)>"                                          # 2 decl/doctype
     r"|</([a-zA-Z][-\w:.]*)[^>]*>"                          # 3 end tag
-    r"|<([a-zA-Z][-\w:.]*)((?:\"[^\"]*\"|'[^']*'|[^>])*)>",  # 4 tag 5 attrs
+    # disjoint alternatives ([^>"'] excludes the quote chars) — the
+    # overlapping version backtracks exponentially on unterminated tags
+    r"|<([a-zA-Z][-\w:.]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>",  # 4 tag 5 attrs
     _re.S)
 
 _ATTR = _re.compile(

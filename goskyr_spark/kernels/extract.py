@@ -97,6 +97,10 @@ def extract_json_field(path, s):
         # jsonquery.FindOne returns nil; node.Value() then panics in Go.
         # Surface a clear error instead of crashing the executor.
         raise GoskyrError(f"JSON: no node found for selector {path}")
+    if isinstance(node, int) and not isinstance(node, bool):
+        # Go's encoding/json decodes every number as float64; large ints
+        # must round through float64 before formatting for byte parity
+        node = float(node)
     return go_sprint(node)
 
 

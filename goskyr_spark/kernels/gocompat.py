@@ -22,20 +22,35 @@ class GoskyrError(Exception):
 # --- fmt.Sprint-ish value formatting ---------------------------------------
 
 def go_float_str(f: float) -> str:
-    """Go fmt %v of float64: strconv.FormatFloat(f, 'g', -1, 64)."""
+    """Go fmt %v of float64: strconv.FormatFloat(f, 'g', -1, 64).
+
+    Same shortest-round-trip digits as Python repr, but Go switches to
+    exponent form only when exp < -4 or exp >= 21 (Python switches at
+    16) — large ids in ld+json (~1e18) must match Go's positional form."""
     if f != f:  # NaN
         return "NaN"
     if f in (float("inf"), float("-inf")):
         return "+Inf" if f > 0 else "-Inf"
-    if f == int(f) and abs(f) < 1e21:
-        # %g drops the decimal point for integral values below the
-        # exponent threshold
-        s = repr(f)
-        if s.endswith(".0"):
-            return s[:-2]
-        return s
     s = repr(f)
-    # Python uses e.g. '1e+21' like Go; normalize 'e21'→'e+21' just in case
+    if "e" in s or "E" in s:
+        mant, _, exp_s = s.partition("e")
+        exp = int(exp_s)
+        if -4 <= exp < 21:
+            # expand to positional notation with the same digits
+            neg = mant.startswith("-")
+            digits = mant.lstrip("-").replace(".", "")
+            point = (mant.lstrip("-").index(".")
+                     if "." in mant else len(mant.lstrip("-"))) + exp
+            if point >= len(digits):
+                out = digits + "0" * (point - len(digits))
+            elif point > 0:
+                out = digits[:point] + "." + digits[point:]
+            else:
+                out = "0." + "0" * (-point) + digits
+            return ("-" if neg else "") + out
+        return s
+    if s.endswith(".0"):
+        return s[:-2]
     return s
 
 

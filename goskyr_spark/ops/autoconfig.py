@@ -77,48 +77,75 @@ def discover_fields(html, min_occ=5, only_varying=True):
     The 'squash' merge happens by erasing :nth-of-type suffixes at and
     below the repetition point and grouping."""
     doc = parse_html(html)
-    raw = []  # (path, attr, example)
+    raw = []  # (stripped_path, attr, example, nth)
+    # nth = position of the element among same-TAG siblings (CSS
+    # :nth-of-type semantics) when same-signature siblings exist —
+    # distinguishes repeated sibling columns within one item; None when
+    # the element is the only one of its signature under its parent
+
+    def _last_nth(el):
+        if el.parent is None:
+            return None
+        same_sig = [s for s in el.parent.children
+                    if s.type == ELEMENT and _node_step(s) == _node_step(el)]
+        if len(same_sig) <= 1:
+            return None
+        pos = 0
+        for s in el.parent.children:
+            if s.type == ELEMENT and s.tag == el.tag:
+                pos += 1
+                if s is el:
+                    return pos
+        return None
+
+    def _stripped(el):
+        return tuple(p.split(":nth-of-type")[0] for p in _path_of(el))
+
     for el in doc.iter_elements():
+        nth = _last_nth(el)
         for attr in ALLOWED_ATTRS.get(el.tag, ()):
             v = el.attrs.get(attr)
             if v and v.strip():
-                raw.append((_path_of(el), attr, v.strip()))
-        t_index = 0
-        for child in el.children:
+                raw.append((_stripped(el), attr, v.strip(), nth))
+        # child index counted over ALL sibling node kinds — MUST match
+        # the extraction walk (kernels/extract.get_text_string), which
+        # counts elements/comments too
+        for idx, child in enumerate(el.children):
             if child.type == TEXT:
                 txt = child.data.strip()
                 if txt:
-                    raw.append((_path_of(el) + (f"#text{t_index}",), "",
-                                txt))
-                t_index += 1
+                    raw.append((_stripped(el) + (f"#text{idx}",), "",
+                                txt, nth))
 
-    # find the repetition point: the path depth where stripping
-    # nth-of-type makes ≥ min_occ raw candidates coincide (G2)
-    def strip_from(path, depth):
-        return tuple(
-            (p.split(":nth-of-type")[0] if i >= depth else p)
-            for i, p in enumerate(path))
+    groups = defaultdict(list)
+    for spath, attr, ex, nth in raw:
+        groups[(spath, attr)].append((ex, nth))
 
-    best = defaultdict(list)
-    for path, attr, ex in raw:
-        # strip every nth-of-type below the shallowest repeated level:
-        # group key = fully stripped path; alignment across items
-        key = (strip_from(path, 0), attr)
-        best[key].append((path, ex))
+    def _emit(candidates, spath, attr, nth, examples):
+        if len(examples) < min_occ:
+            return
+        if only_varying and len(set(examples)) <= 1:
+            return
+        candidates.append({"path": spath, "attr": attr, "nth": nth,
+                           "examples": examples, "count": len(examples)})
 
     candidates = []
-    for (spath, attr), entries in sorted(best.items()):
-        examples = [e for _, e in entries]
-        if len(examples) < min_occ:
-            continue
-        if only_varying and len(set(examples)) <= 1:
-            continue
-        candidates.append({
-            "path": spath,
-            "attr": attr,
-            "examples": examples,
-            "count": len(examples),
-        })
+    for (spath, attr), entries in sorted(groups.items()):
+        by_nth = defaultdict(list)
+        for ex, nth in entries:
+            by_nth[nth].append(ex)
+        # split into per-sibling columns ONLY when each sibling position
+        # itself repeats across items (≥ min_occ) — at the item level the
+        # positions are 1..N with one entry each and must NOT split
+        # (reference: pseudo-classes kept below the repetition point,
+        # stripped above it — fieldmanager.go:115-145)
+        if (None not in by_nth and len(by_nth) > 1
+                and all(len(v) >= min_occ for v in by_nth.values())):
+            for nth in sorted(by_nth):
+                _emit(candidates, spath, attr, nth, by_nth[nth])
+        else:
+            _emit(candidates, spath, attr, None,
+                  [ex for ex, _ in entries])
     return doc, candidates
 
 
@@ -147,8 +174,17 @@ def infer_scraper(html, url="", min_occ=5, only_varying=True,
     doc, candidates = discover_fields(html, min_occ, only_varying)
     if not candidates:
         return None
-    field_paths = [c["path"][:-1] if c["path"][-1].startswith("#text")
-                   else c["path"] for c in candidates]
+
+    def _el_path(c):
+        """Element path of a candidate with its sibling position pinned,
+        so two sibling columns don't collapse into the item prefix."""
+        p = list(c["path"][:-1] if c["path"][-1].startswith("#text")
+                 else c["path"])
+        if c.get("nth") and p:
+            p[-1] += f":nth-of-type({c['nth']})"
+        return tuple(p)
+
+    field_paths = [_el_path(c) for c in candidates]
     item_path = _common_prefix(field_paths)
     # the item node itself must repeat; walk back until the selector
     # matches ≥ min_occ nodes (reference trimPrefix keeps ≥3 segments)
@@ -162,11 +198,11 @@ def infer_scraper(html, url="", min_occ=5, only_varying=True,
 
     fields = []
     for i, c in enumerate(candidates):
-        rel = list(c["path"][len(item_path):])
+        full = list(_el_path(c))
         text_idx = 0
-        if rel and rel[-1].startswith("#text"):
-            text_idx = int(rel[-1][5:])
-            rel = rel[:-1]
+        if c["path"][-1].startswith("#text"):
+            text_idx = int(c["path"][-1][5:])
+        rel = full[len(item_path):]
         sel = _selector(rel)
         fname = labeler(c["examples"], i) if labeler else f"field-{i}"
         # G8: date detection — if a known layout covers the examples

@@ -114,7 +114,10 @@ ROUNDS_SCHEMA = StructType([
 
 
 def url_host(url: str) -> str:
-    return urlsplit(url).netloc
+    # hostname (no port, lowercased) — MUST agree with Spark's
+    # parse_url(url, 'HOST') used for outlinks/robots, else one site
+    # splits into two politeness/robots identities
+    return urlsplit(url).hostname or ""
 
 
 def _u64(int64_array):
@@ -145,6 +148,12 @@ class CrawlEngine:
         # one schema for all hosts: factory must produce field-compatible
         # scrapers (heterogeneous configs get engine instances per config)
         self._proto = scraper_factory("proto.invalid")
+        if any(f.on_subpage and not f.value for f in self._proto.fields):
+            raise ValueError(
+                "on_subpage fields are not supported in crawl mode: detail "
+                "pages are crawled as outlinks and joined afterwards (use "
+                "spark.pipeline.extract_stage2_subpages over the items + "
+                "pages tables)")
 
         self.t_frontier = self.store.table("frontier")
         self.t_fetched = self.store.table("fetched")
@@ -261,21 +270,36 @@ class CrawlEngine:
                 bloom = BloomFilter.from_bytes(prev[0])
                 cuckoo = CuckooFilter.from_bytes(prev[1])
                 cap = cuckoo.nbuckets * CuckooFilter.SLOTS
-                if cuckoo.count + len(hs) > 0.8 * cap:
-                    # rebuild at 2x from the seen table slice (exact source)
-                    new_cap = max(2 * cap, 2 * (cuckoo.count + len(hs)))
-                    seen = self.t_seen.read(self.spark, schema=SEEN_SCHEMA)
-                    old = [r["url_hash"] for r in seen.filter(
-                        F.pmod(F.col("url_hash"), F.lit(n_slabs)) == sid)
-                        .select("url_hash").collect()]
-                    bloom = BloomFilter.sized_for(new_cap)
-                    cuckoo = CuckooFilter.sized_for(new_cap)
-                    if old:
-                        bloom.add_many(_u64(old))
-                        cuckoo.insert_many(_u64(old))
-            arr = _u64(hs)
-            bloom.add_many(arr)
-            cuckoo.insert_many(arr)
+
+            def _rebuild(min_cap):
+                # rebuild from the seen table slice — the exact source,
+                # which at this point ALREADY includes this round's new
+                # urls (seen is committed before slabs), so no re-add
+                seen = self.t_seen.read(self.spark, schema=SEEN_SCHEMA)
+                old = [r["url_hash"] for r in seen.filter(
+                    F.pmod(F.col("url_hash"), F.lit(n_slabs)) == sid)
+                    .select("url_hash").collect()]
+                while True:
+                    nb = BloomFilter.sized_for(min_cap)
+                    nc = CuckooFilter.sized_for(min_cap)
+                    if not old or nc.insert_many(_u64(old)) == len(old):
+                        if old:
+                            nb.add_many(_u64(old))
+                        return nb, nc
+                    min_cap *= 2  # eviction overflow: double and retry
+
+            if prev is not None and cuckoo.count + len(hs) > 0.8 * cap:
+                bloom, cuckoo = _rebuild(
+                    max(2 * cap, 2 * (cuckoo.count + len(hs))))
+            else:
+                arr = _u64(hs)
+                bloom.add_many(arr)
+                if cuckoo.insert_many(arr) != len(arr):
+                    # eviction-loop overflow can silently drop a VICTIM
+                    # fingerprint (a false negative — forbidden): rebuild
+                    # exactly from seen
+                    bloom, cuckoo = _rebuild(
+                        2 * cuckoo.nbuckets * CuckooFilter.SLOTS)
             out_rows.append((sid, round_no, bloom.to_bytes(),
                              cuckoo.to_bytes()))
             slabs[sid] = (out_rows[-1][2], out_rows[-1][3])
@@ -492,9 +516,8 @@ class CrawlEngine:
         result = (work.repartition(n_fetch_parts, "host", "_salt")
                   .sortWithinPartitions("host", "priority", "url")
                   .mapInArrow(fetch_extract, out_schema)).cache()
-        # no explicit materialize: the first consumer (items append) fills
-        # the cache; later consumers reuse it
-        dequeued.unpersist()
+        # first consumer (items append) fills the result cache; only THEN
+        # is the dequeue cache safe to drop (result's lineage includes it)
         out_coalesce = max(1, min(n_fetch_parts, n_dequeued // 50_000 + 1))
 
         # --- commit: items
@@ -522,6 +545,7 @@ class CrawlEngine:
             *[f.name for f in FETCHED_SCHEMA.fields]).cache()
         self.t_fetched.append(fetch_rows.coalesce(out_coalesce),
                               {"round": round_no})
+        dequeued.unpersist()
 
         # --- outlinks → seen-set → new frontier rows
         outlinks = (result.filter("_kind = 'outlink'")

@@ -55,7 +55,13 @@ def stream_extract(spark, pages_dir, scraper, out_dir, checkpoint_dir=None,
         raw = extract_stage1(batch_df, scraper, now=now)
         items = finalize_items_df(raw, scraper, now=now) \
             .withColumn("_batch_id", F.lit(batch_id))
-        items.write.mode("append").parquet(items_dir)
+        # idempotent under micro-batch REPLAY (crash between sink write
+        # and checkpoint commit): each batch owns its partition, and a
+        # replay dynamically overwrites exactly that partition
+        (items.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id")
+         .parquet(items_dir))
 
     writer = (stream.writeStream
               .foreachBatch(sink)

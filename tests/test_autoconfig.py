@@ -68,3 +68,32 @@ def test_no_fields():
     scraper, items = generate_and_verify("<html><body><p>once</p></body>",
                                          min_occ=5)
     assert scraper is None and items == []
+
+
+def test_mixed_content_child_index():
+    """Text after element siblings: generated child_index must match the
+    extraction walk (counts ALL sibling node kinds)."""
+    page = "".join(
+        f'<div class="row"><span class="icon">*</span>title {i}<b>x</b>'
+        f"price {i}0</div>" for i in range(6))
+    scraper, items = generate_and_verify(
+        f"<html><body>{page}</body></html>", "https://x/", min_occ=5)
+    assert scraper is not None and len(items) == 6
+    vals = sorted(v for k, v in items[0].items() if not k.startswith("_"))
+    assert vals == ["price 00", "title 0"]
+
+
+def test_sibling_columns_not_merged():
+    """Two same-signature sibling columns stay separate fields with
+    :nth-of-type pinning (and don't collapse into the item selector)."""
+    page = "".join(
+        f'<div class="e"><span class="v">artist {i}</span>'
+        f'<span class="v">venue {i}</span></div>' for i in range(6))
+    scraper, items = generate_and_verify(
+        f"<html><body>{page}</body></html>", "https://x/", min_occ=5)
+    assert scraper is not None
+    sels = sorted(f.location[0].selector for f in scraper.fields)
+    assert sels == ["span.v:nth-of-type(1)", "span.v:nth-of-type(2)"]
+    assert len(items) == 6
+    vals = sorted(v for k, v in items[0].items() if not k.startswith("_"))
+    assert vals == ["artist 0", "venue 0"]
