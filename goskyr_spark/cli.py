@@ -70,7 +70,8 @@ def cmd_scrape(args):
         from .io.api_writer import APIWriter
 
         w = APIWriter(cfg.writer.uri, cfg.writer.user, cfg.writer.password,
-                      cfg.writer.batch_size)
+                      cfg.writer.batch_size, dry_run=cfg.writer.dry_run,
+                      uri_dry_run=cfg.writer.uri_dry_run)
         n = w.write(all_items)
         print(f"wrote {n} items from {len(w.deleted_sources)} sources "
               "to the api", file=sys.stderr)

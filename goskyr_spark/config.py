@@ -244,6 +244,8 @@ class WriterConfig:
     password: str = ""
     write_status: bool = False
     batch_size: int = 100
+    dry_run: bool = False       # reference: writer.go:30 `dryrun`
+    uri_dry_run: str = ""       # reference: writer.go:31 `uri_dryrun`
 
     @classmethod
     def from_dict(cls, d):
@@ -254,7 +256,9 @@ class WriterConfig:
                    user=d.get("user", "") or "",
                    password=d.get("password", "") or "",
                    write_status=bool(d.get("write_status", False)),
-                   batch_size=int(d.get("batch_size", 100)))
+                   batch_size=int(d.get("batch_size", 100)),
+                   dry_run=bool(d.get("dryrun", False)),
+                   uri_dry_run=d.get("uri_dryrun", "") or "")
 
 
 @dataclass

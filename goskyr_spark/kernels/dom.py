@@ -171,6 +171,13 @@ class _TreeBuilder(HTMLParser):
             self.stack.append(el)
 
     def handle_startendtag(self, tag, attrs):
+        # HTML5 / x/net/html tree construction IGNORES the self-closing
+        # slash on non-void elements: <div class="x"/> stays OPEN and the
+        # following content becomes its children (goquery sees the same
+        # tree). Only void elements produce a childless leaf.
+        if tag not in VOID_ELEMENTS:
+            self.handle_starttag(tag, attrs)
+            return
         d = {}
         for k, v in attrs:
             if k not in d:

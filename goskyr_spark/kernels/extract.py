@@ -136,14 +136,76 @@ def extract_string_regex(rc, s):
     return extracted
 
 
+_EXPAND_NAME = re.compile(r"\w+", re.UNICODE)
+
+
+def _go_expand(template, m, pattern):
+    """Go regexp template expansion (regexp.expand / extract):
+    ``$name``/``${name}`` forms, ``$$`` → literal ``$``, longest
+    letter/digit/underscore run as name, all-digits (no leading zero) =
+    group number, unknown/unmatched references expand to ''."""
+    out = []
+    i = 0
+    t = template
+    while True:
+        j = t.find("$", i)
+        if j < 0:
+            out.append(t[i:])
+            break
+        out.append(t[i:j])
+        nxt = t[j + 1:j + 2]
+        if nxt == "$":  # $$ → $
+            out.append("$")
+            i = j + 2
+            continue
+        if nxt == "{":
+            k = t.find("}", j + 2)
+            name = t[j + 2:k] if k >= 0 else ""
+            if k < 0 or not name or not _EXPAND_NAME.fullmatch(name):
+                out.append("$")  # malformed: $ is raw text
+                i = j + 1
+                continue
+            i = k + 1
+        else:
+            mm = _EXPAND_NAME.match(t, j + 1)
+            if not mm:
+                out.append("$")  # no name: $ is raw text
+                i = j + 1
+                continue
+            name = mm.group(0)
+            i = mm.end()
+        # all-digits (no leading zero, bounded) = group NUMBER, else name
+        g = None
+        if name.isdigit() and not (len(name) > 1 and name[0] == "0") \
+                and len(name) < 9:
+            num = int(name)
+            if num <= pattern.groups:
+                g = m.group(num)
+        else:
+            idx = pattern.groupindex.get(name)
+            if idx is not None:
+                g = m.group(idx)
+        out.append(g or "")  # unmatched/unknown → empty (Go semantics)
+    return "".join(out)
+
+
 def transform_string(tr, s):
-    """transformString: only regex-replace exists (scraper.go:1054-1071)."""
+    """transformString: only regex-replace exists (scraper.go:1054-1071).
+
+    The replacement template follows Go ReplaceAllString Expand rules —
+    implemented in _go_expand so unknown refs can't raise re.error and
+    kill the Spark task; any residual substitution error becomes a
+    GoskyrError (row drop), matching the reference's keep-scraping
+    behavior."""
     if tr.type == "regex-replace":
         if tr.regex:
             regex = go_compile_regex(tr.regex)
-            # Go ReplaceAllString uses $1/$name group refs; translate to \1
-            repl = re.sub(r"\$(\d+)", r"\\\1", tr.replace)
-            return regex.sub(repl, s)
+            try:
+                return regex.sub(
+                    lambda m: _go_expand(tr.replace, m, regex), s)
+            except re.error as e:  # defensive: never kill the task
+                raise GoskyrError(
+                    f"regex-replace failed for '{tr.regex}': {e}")
         return s
     if tr.type == "":
         return s

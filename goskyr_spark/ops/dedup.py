@@ -24,15 +24,19 @@ def _words(col):
 
 
 def shingles_expr(text_col="text", n=3):
-    """Distinct word n-gram shingles as an array column (JVM-side)."""
+    """Distinct word n-gram shingles as an array column (JVM-side).
+
+    Documents with fewer than n words yield ZERO shingles (not one
+    truncated shingle) — this matches the DuckDB oracle's comprehension
+    `range(1, greatest(len(w)-(n-1),0)+1)` so the value-hash gate holds
+    on corpora containing short documents."""
     words = _words(F.col(text_col))
+    full = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0),
-                       F.greatest(F.size(words) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        )
-    )
+        F.when(F.size(words) >= n, full)
+        .otherwise(F.array().cast("array<string>")))
 
 
 def exact_dedup(documents, text_col="text", id_col="doc_id"):

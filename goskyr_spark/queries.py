@@ -595,16 +595,8 @@ def all_oracles():
 def q_crawl_mock_items(spark, sf_dir):
     """The reference's config-mock.yaml through the Spark pipeline
     (W3 shape; byte parity asserted in tests)."""
-    import os
-    import sys
-
+    from .fixtures_html import MOCK_CONFIG
     from .synth import fixture_pages_df
-
-    tests_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "tests")
-    if tests_dir not in sys.path:
-        sys.path.insert(0, tests_dir)
-    from test_mock_e2e import MOCK_CONFIG
 
     scraper = loads_config(MOCK_CONFIG).scrapers[0]
     pages = fixture_pages_df(spark).filter(

@@ -114,9 +114,10 @@ ROUNDS_SCHEMA = StructType([
 
 
 def url_host(url: str) -> str:
-    # hostname (no port, lowercased) — MUST agree with Spark's
-    # parse_url(url, 'HOST') used for outlinks/robots, else one site
-    # splits into two politeness/robots identities
+    # hostname (no port, LOWERCASED) — the single host identity. Spark
+    # sides use lower(parse_url(url, 'HOST')) for outlinks/robots so all
+    # three agree; a mismatch would split one site into two
+    # politeness/robots identities (silently unenforced robots)
     return urlsplit(url).hostname or ""
 
 
@@ -372,7 +373,11 @@ class CrawlEngine:
                 .filter(F.col("url") == F.concat(F.lit("https://"),
                                                  F.col("_h"),
                                                  F.lit("/robots.txt")))
-                .select(F.col("_h").alias("host"),
+                # join key is the LOWERCASED host — must agree with
+                # url_host() (seeds) and the outlink host column, else a
+                # mixed-case host splits into two robots/politeness
+                # identities
+                .select(F.lower(F.col("_h")).alias("host"),
                         F.col("html").alias("_robots"))).cache()
         return self._robots_cache_df
 
@@ -553,7 +558,10 @@ class CrawlEngine:
                             (F.col("_depth") + 1).alias("depth"))
                     .groupBy("url").agg(F.min("depth").alias("depth"))
                     .withColumn("url_hash", F.xxhash64("url"))
-                    .withColumn("host", F.expr("parse_url(url, 'HOST')"))
+                    # lower() matches url_host() (urlsplit().hostname is
+                    # lowercased) — one host identity per site everywhere
+                    .withColumn("host",
+                                F.lower(F.expr("parse_url(url, 'HOST')")))
                     .withColumn("priority", F.col("depth").cast("double"))
                     .withColumn("discovered_round",
                                 F.lit(round_no).cast("long"))

@@ -25,6 +25,7 @@ import uuid
 
 class SnapshotTable:
     def __init__(self, root: str, name: str):
+        self.name = name
         self.dir = os.path.join(root, name)
         self.files_dir = os.path.join(self.dir, "files")
         os.makedirs(self.files_dir, exist_ok=True)
@@ -103,9 +104,11 @@ class SnapshotTable:
         m = self.manifest(snapshot)
         paths = [os.path.join(self.dir, f) for f in m["files"]]
         if not paths:
-            if schema is not None:
-                return spark.createDataFrame([], schema)
-            return None
+            if schema is None:
+                raise ValueError(
+                    f"snapshot table '{self.name}' is empty and no schema "
+                    "was given — pass schema= to read an empty table")
+            return spark.createDataFrame([], schema)
         return spark.read.parquet(*paths)
 
     def exists(self):

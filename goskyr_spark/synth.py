@@ -210,22 +210,15 @@ def synth_pages_df(spark, spec: SynthSpec = None, include_fixtures=True,
 
 def fixture_pages_df(spark):
     """The 11 reference HTML fixtures + the mock page as pages rows."""
-    import importlib.util
-    import os
+    from . import fixtures_html as fx
 
-    fx_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "tests", "fixtures_html.py")
     rows = []
-    if os.path.exists(fx_path):
-        mspec = importlib.util.spec_from_file_location("fx", fx_path)
-        fx = importlib.util.module_from_spec(mspec)
-        mspec.loader.exec_module(fx)
-        for i in range(1, 12):
-            html = getattr(fx, f"HTML{i}")
-            rows.append((f"https://fixtures.test/html{i}",
-                         WARC_EPOCH, html.encode(), html, "en"))
-        rows.append(("https://mock.url", WARC_EPOCH,
-                     fx.MOCK_PAGE.encode(), fx.MOCK_PAGE, "de"))
+    for i in range(1, 12):
+        html = getattr(fx, f"HTML{i}")
+        rows.append((f"https://fixtures.test/html{i}",
+                     WARC_EPOCH, html.encode(), html, "en"))
+    rows.append(("https://mock.url", WARC_EPOCH,
+                 fx.MOCK_PAGE.encode(), fx.MOCK_PAGE, "de"))
     from pyspark.sql.types import (
         BinaryType, StringType, StructField, StructType, TimestampType,
     )

@@ -77,7 +77,7 @@ class _Api(BaseHTTPRequestHandler):
     def do_POST(self):
         body = self.rfile.read(int(self.headers["Content-Length"]))
         _Api.calls.append(("POST", self.path, json.loads(body)))
-        self.send_response(201)
+        self.send_response(400 if "/fail400" in self.path else 201)
         self.end_headers()
 
     def do_GET(self):
@@ -158,3 +158,41 @@ def test_politeness_sleep_partition():
     out = list(fetch_partition(rows, f))
     assert time.monotonic() - t0 >= 0.10  # 2 gaps × 50 ms
     assert all(err is None for _, _, err in out)
+
+
+def test_api_writer_dry_run_never_writes(api_server):
+    """Reference api.go:139-149: dry run skips DELETE and POSTs nothing
+    to the real endpoint; with uri_dryrun set it validates there only."""
+    from goskyr_spark.io.api_writer import APIWriter
+
+    base = datetime(2026, 5, 1, 20, 0, tzinfo=timezone.utc)
+    items = [{"sourceUrl": "https://s1", "date": base, "t": f"i{i}"}
+             for i in range(3)]
+
+    w = APIWriter(api_server, user="u", password="p", batch_size=2,
+                  dry_run=True)
+    assert w.write(list(items)) == 0
+    assert _Api.calls == []  # nothing hit the real endpoint
+
+    w2 = APIWriter(api_server, batch_size=2, dry_run=True,
+                   uri_dry_run=api_server + "/validate")
+    assert w2.write(list(items)) == 0
+    kinds = [(c[0], c[1]) for c in _Api.calls]
+    assert all(k == "POST" and p.endswith("/validate") for k, p in kinds)
+    assert len(w2.validation_results) == 2  # one per batch
+
+
+def test_api_writer_non201_logs_and_continues(api_server, caplog):
+    """writeBatch parity (api.go:151-158): a non-201 POST counts 0
+    written and scraping continues — no exception, no task retry."""
+    from goskyr_spark.io.api_writer import APIWriter
+
+    base = datetime(2026, 5, 1, 20, 0, tzinfo=timezone.utc)
+    items = [{"sourceUrl": "https://s1", "date": base, "t": f"i{i}"}
+             for i in range(4)]
+    w = APIWriter(api_server + "/fail400", batch_size=2)
+    # the test server 400s on /fail400 POSTs; DELETE still 200s
+    n = w.write(items)
+    assert n == 0
+    posts = [c for c in _Api.calls if c[0] == "POST"]
+    assert len(posts) == 2  # both batches attempted

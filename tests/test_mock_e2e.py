@@ -10,47 +10,8 @@ from goskyr_spark.config import loads_config
 from goskyr_spark.kernels.gocompat import go_rfc3339
 from goskyr_spark.kernels.scrape import scrape_local
 
-from fixtures_html import MOCK_PAGE
+from goskyr_spark.fixtures_html import MOCK_CONFIG, MOCK_PAGE
 
-MOCK_CONFIG = """
-writer:
-  type: file
-  filedir: mock-items
-  write_status: true
-scrapers:
-  - name: mock
-    url: "https://mock.url"
-    fetcher:
-      type: mock
-    item: div > h3.size-xxl
-    fields:
-      - name: sourceUrl
-        value: "https://mock.url"
-      - name: location
-        value: MockVenue
-      - name: city
-        value: Zurich
-      - name: country
-        value: Switzerland
-      - name: type
-        value: concert
-      - name: url
-        value: "https://mock.url"
-      - name: title
-        location:
-          selector: div.artist-name
-      - name: date
-        type: date
-        components:
-          - covers:
-              day: true
-              month: true
-              year: true
-              time: true
-            location:
-              selector: div.date
-            layout: ["2.1.2006 15:04"]
-"""
 
 EXPECTED = [
     ("Final Story", "2025-08-20T20:00:00Z"),
