@@ -533,9 +533,17 @@ class CrawlEngine:
                          F.lit(round_no).cast("long").alias("round")))
         self.t_items.append(items.coalesce(out_coalesce), {"round": round_no})
 
-        # --- commit: fetched (+ deterministic global fetch_seq)
-        worder = Window.orderBy("fetch_ts", "host", "url")
-        fetch_rows = (result.filter("_kind = 'fetch'")
+        # --- commit: fetched (+ deterministic global fetch_seq).
+        # The global sequence over (fetch_ts, host, url) is computed
+        # WITHOUT a single-partition Window (the scale-killer flagged in
+        # round 1): range-partition on the sort key, take the
+        # partition-LOCAL position from monotonically_increasing_id
+        # (pid<<33 + local row number — no shuffle, no Python), then add
+        # an exclusive prefix-sum of per-partition counts (one tiny
+        # n_parts-row collect). The sort key is unique per round (one
+        # fetch row per dequeued url), so the ranking — and the crawl
+        # digest — is identical at any parallelism.
+        fetch_base = (result.filter("_kind = 'fetch'")
                       .select(F.col("_page_url").alias("url"),
                               F.col("_host").alias("host"),
                               F.col("_fetch_ts").alias("fetch_ts"),
@@ -543,11 +551,32 @@ class CrawlEngine:
                               F.col("_n_items").alias("n_items"),
                               F.col("_n_errors").alias("n_errors"))
                       .withColumn("url_hash", F.xxhash64("url"))
-                      .withColumn("round", F.lit(round_no).cast("long"))
+                      .withColumn("round", F.lit(round_no).cast("long")))
+        n_seq_parts = max(1, min(n_fetch_parts, (n_dequeued + 4095) // 4096))
+        seq_sorted = (fetch_base
+                      .repartitionByRange(n_seq_parts,
+                                          "fetch_ts", "host", "url")
+                      .sortWithinPartitions("fetch_ts", "host", "url")
+                      .withColumn("_pid", F.spark_partition_id())
+                      .withColumn("_local",
+                                  F.monotonically_increasing_id()
+                                  .bitwiseAND(F.lit((1 << 33) - 1)))
+                      ).cache()
+        pid_counts = {int(r["_pid"]): int(r["count"])
+                      for r in seq_sorted.groupBy("_pid").count().collect()}
+        offs, acc = {}, 0
+        for pid in sorted(pid_counts):  # range partitions are key-ordered
+            offs[pid] = acc
+            acc += pid_counts[pid]
+        off_map = F.create_map(*[F.lit(v) for pid in sorted(offs)
+                                 for v in (pid, offs[pid])])
+        fetch_rows = (seq_sorted
                       .withColumn("fetch_seq",
-                                  F.row_number().over(worder).cast("long")))
-        fetch_rows = fetch_rows.select(
-            *[f.name for f in FETCHED_SCHEMA.fields]).cache()
+                                  (F.col("_local") + 1 +
+                                   F.element_at(off_map, F.col("_pid")))
+                                  .cast("long"))
+                      .select(*[f.name for f in FETCHED_SCHEMA.fields])
+                      ).cache()
         self.t_fetched.append(fetch_rows.coalesce(out_coalesce),
                               {"round": round_no})
         dequeued.unpersist()
@@ -613,6 +642,7 @@ class CrawlEngine:
         self.t_rounds.append(spark.createDataFrame(
             [tuple(summary.values())], ROUNDS_SCHEMA), {"round": round_no})
         result.unpersist()
+        seq_sorted.unpersist()
         fetch_rows.unpersist()
         new_urls.unpersist()
         return summary
