@@ -90,6 +90,12 @@ SLAB_SCHEMA = StructType([
     StructField("round", LongType()),
     StructField("bloom", BinaryType()),
     StructField("cuckoo", BinaryType()),
+    # stats columns: let the driver make rebuild/capacity decisions from
+    # a pruned (slab_id, count, capacity) read WITHOUT deserializing the
+    # filter blobs — at the 10^10-URL design point the blobs never touch
+    # the driver in partitioned mode
+    StructField("count", LongType()),
+    StructField("capacity", LongType()),
 ])
 
 METRICS_SCHEMA = StructType([
@@ -113,6 +119,59 @@ ROUNDS_SCHEMA = StructType([
 ])
 
 
+# --- executor-side slab blob access -------------------------------------------
+# Worker-local cache of deserialization inputs: one (file, slab, round)
+# triple is read at most once per Python worker per slab generation. The
+# parquet read prunes to the single matching row (predicate pushdown on
+# slab_id/round), so a task touches only its own slabs' bytes — never the
+# whole filter set.
+_SLAB_BLOB_CACHE = {}
+
+
+def _read_slab_blobs(path, sid, round_no):
+    key = (path, int(sid), int(round_no))
+    hit = _SLAB_BLOB_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["slab_id", "round", "bloom", "cuckoo"],
+                      filters=[("slab_id", "==", int(sid)),
+                               ("round", "==", int(round_no))])
+    if t.num_rows == 0:
+        return None
+    val = (t.column("bloom")[0].as_py(), t.column("cuckoo")[0].as_py())
+    if len(_SLAB_BLOB_CACHE) > 64:  # bound worker memory across rounds
+        _SLAB_BLOB_CACHE.clear()
+    _SLAB_BLOB_CACHE[key] = val
+    return val
+
+
+def _flag_batch(batch, n_slabs, get_filters):
+    """Append maybe_seen (int64 0/1) to an Arrow batch: bloom 'absent' ⇒
+    definitely new; cuckoo refines bloom positives. get_filters(sid) →
+    (BloomFilter, CuckooFilter) or None."""
+    hs = batch.column(batch.schema.get_field_index("url_hash"))
+    arr = np.asarray(hs.to_numpy(zero_copy_only=False),
+                     dtype=np.int64).view(np.uint64)
+    sids = (arr % np.uint64(n_slabs)).astype(np.int64)
+    maybe = np.zeros(len(arr), dtype=bool)
+    for sid in np.unique(sids):
+        pair = get_filters(int(sid))
+        if pair is None:
+            continue
+        sel = sids == sid
+        sub = arr[sel]
+        m = pair[0].contains_many(sub)
+        m &= pair[1].contains_many(sub)  # cuckoo refines bloom positives
+        maybe[sel] = m
+    return pa.RecordBatch.from_arrays(
+        list(batch.columns) +
+        [pa.array(maybe.astype(np.int64), pa.int64())],
+        schema=pa.schema(list(batch.schema) +
+                         [pa.field("maybe_seen", pa.int64())]))
+
+
 def url_host(url: str) -> str:
     # hostname (no port, LOWERCASED) — the single host identity. Spark
     # sides use lower(parse_url(url, 'HOST')) for outlinks/robots so all
@@ -129,7 +188,9 @@ class CrawlEngine:
     def __init__(self, spark, workdir, pages_df, scraper_factory, seeds,
                  per_host_budget=64, round_budget=100_000, user_agent="*",
                  n_slabs=8, slab_capacity=4096, salt_threshold=512,
-                 salt_factor=4, now=None, fetch_partitions=None):
+                 salt_factor=4, now=None, fetch_partitions=None,
+                 slab_driver_threshold=100_000, seen_mode="auto",
+                 seen_broadcast_max_bytes=64 << 20):
         assert n_slabs & (n_slabs - 1) == 0, "n_slabs must be a power of two"
         self.spark = spark
         self.store = SnapshotStore(workdir)
@@ -146,6 +207,16 @@ class CrawlEngine:
         self.now = now or datetime.now(timezone.utc)
         self.fetch_partitions = fetch_partitions or max(
             4, spark.sparkContext.defaultParallelism)
+        # seen-set scale knobs: above slab_driver_threshold new urls per
+        # round the slab update runs executor-side (slab-aligned shuffle);
+        # seen_mode auto switches the per-round membership test from
+        # broadcast-all-slabs to partition-aligned (each task reads only
+        # its slab from parquet) once the estimated filter bytes exceed
+        # seen_broadcast_max_bytes. Modes: auto | broadcast | partitioned.
+        assert seen_mode in ("auto", "broadcast", "partitioned")
+        self.slab_driver_threshold = slab_driver_threshold
+        self.seen_mode = seen_mode
+        self.seen_broadcast_max_bytes = seen_broadcast_max_bytes
         # one schema for all hosts: factory must produce field-compatible
         # scrapers (heterogeneous configs get engine instances per config)
         self._proto = scraper_factory("proto.invalid")
@@ -205,7 +276,8 @@ class CrawlEngine:
         self.t_seen.append(df.select("url", "url_hash",
                                      F.lit(-1).cast("long").alias("round")),
                            {"round": -1})
-        self._update_slabs(df.select("url", "url_hash"), -1)
+        self._update_slabs(df.select("url", "url_hash"), -1,
+                           n_new=len(self.seeds))
         self.t_rounds.append(self.spark.createDataFrame(
             [(-1, 0, 0, 0, 0, len(self.seeds), 0.0)], ROUNDS_SCHEMA),
             {"round": -1})
@@ -218,12 +290,14 @@ class CrawlEngine:
         latest = (df.withColumn("_rn", F.row_number().over(w))
                   .filter("_rn = 1").drop("_rn"))
         return {int(r["slab_id"]): (r["bloom"], r["cuckoo"])
-                for r in latest.collect()}
+                for r in latest.select("slab_id", "bloom", "cuckoo")
+                .collect()}
 
     def _slabs_cached(self):
-        """Current slabs, via the driver cache when it matches the table
-        HEAD (avoids a window+collect per round); falls back to disk
-        after restart/rollback."""
+        """Current slab BLOBS, via the driver cache when it matches the
+        table HEAD; falls back to disk after restart/rollback. Only used
+        on the broadcast seen-test path and the driver update path —
+        partitioned mode never materializes blobs on the driver."""
         mem = getattr(self, "_slabs_mem", None)
         head = self.t_slabs.head()
         if mem is not None and mem[0] == head:
@@ -231,6 +305,66 @@ class CrawlEngine:
         slabs = self._load_slabs()
         self._slabs_mem = (head, slabs)
         return slabs
+
+    def _slab_stats(self):
+        """{sid: (count, capacity)} of each slab's LATEST row — a pruned
+        (slab_id, round, count, capacity) columnar read; the filter blobs
+        are never touched. Drives rebuild/capacity decisions at any
+        scale."""
+        head = self.t_slabs.head()
+        mem = getattr(self, "_stats_mem", None)
+        if mem is not None and mem[0] == head:
+            return mem[1]
+        stats = {}
+        if self.t_slabs.exists():
+            df = self.t_slabs.read(self.spark, schema=SLAB_SCHEMA)
+            latest = (df.groupBy("slab_id")
+                      .agg(F.max(F.struct("round", "count", "capacity"))
+                           .alias("m")))
+            stats = {int(r["slab_id"]):
+                     (int(r["m"]["count"]), int(r["m"]["capacity"]))
+                     for r in latest.collect()}
+        self._stats_mem = (head, stats)
+        return stats
+
+    def _slab_latest_files(self):
+        """{sid: (parquet_path, round)} locating each slab's latest row,
+        so an executor task can read exactly its slab's bytes (predicate
+        pushdown on slab_id/round). One tiny pruned job per commit."""
+        head = self.t_slabs.head()
+        mem = getattr(self, "_files_mem", None)
+        if mem is not None and mem[0] == head:
+            return mem[1]
+        out = {}
+        if self.t_slabs.exists():
+            df = (self.t_slabs.read(self.spark, schema=SLAB_SCHEMA)
+                  .select("slab_id", "round",
+                          F.input_file_name().alias("f")))
+            latest = (df.groupBy("slab_id")
+                      .agg(F.max(F.struct("round", "f")).alias("m")))
+            for r in latest.collect():
+                p = r["m"]["f"]
+                if p.startswith("file:"):
+                    from urllib.parse import unquote, urlparse
+
+                    p = unquote(urlparse(p).path)
+                out[int(r["slab_id"])] = (p, int(r["m"]["round"]))
+        self._files_mem = (head, out)
+        return out
+
+    def _est_slab_bytes(self):
+        # bloom ≈ 1.5 B/slot (12 bits/item) + cuckoo 2 B/slot at capacity
+        return sum(int(3.5 * cap)
+                   for _, cap in self._slab_stats().values())
+
+    def _seen_partitioned(self) -> bool:
+        if self.seen_mode == "partitioned":
+            return True
+        if self.seen_mode == "broadcast":
+            return False
+        return self._est_slab_bytes() > self.seen_broadcast_max_bytes
+
+    # --- slab update ---------------------------------------------------------
 
     def _update_slabs(self, new_urls_df, round_no, n_new=None):
         """Insert new url hashes into their slab's bloom+cuckoo filters.
@@ -241,19 +375,26 @@ class CrawlEngine:
         at double size from the authoritative seen table (amortized
         doubling, like a hash table).
 
-        Small rounds (the common steady state) update driver-side from a
-        single collect; huge discovery rounds use the distributed
-        slab-aligned path. Both paths feed the in-memory slab cache that
-        the next round's test pass broadcasts.
+        Small rounds in broadcast mode update driver-side from a single
+        collect; big discovery rounds — and ALL rounds once the seen test
+        is partition-aligned — go through the distributed slab-aligned
+        path, where blobs are built and written entirely executor-side.
         """
+        if n_new is None:
+            n_new = new_urls_df.count()
+        if n_new > self.slab_driver_threshold or \
+                (self._seen_partitioned() and self.t_slabs.exists()):
+            self._update_slabs_distributed(new_urls_df, round_no)
+        else:
+            self._update_slabs_driver(new_urls_df, round_no)
+
+    def _update_slabs_driver(self, new_urls_df, round_no):
         n_slabs = self.n_slabs
         slabs = dict(self._slabs_cached())
+        stats = dict(self._slab_stats())
 
         # driver-side update: new-url hash volume per round is bounded by
-        # the politeness budget (8 bytes/url — 1M new urls = 8 MB); a
-        # distributed slab-aligned update path becomes necessary only when
-        # rounds discover tens of millions of urls, at which point each
-        # partition writes its own slab exactly as this loop does per sid
+        # slab_driver_threshold (8 bytes/url — 100k new urls = 800 KB)
         hashes = [r["url_hash"] for r in
                   new_urls_df.select("url_hash").collect()]
         by_slab = {}
@@ -301,21 +442,198 @@ class CrawlEngine:
                     # exactly from seen
                     bloom, cuckoo = _rebuild(
                         2 * cuckoo.nbuckets * CuckooFilter.SLOTS)
+            cap_now = cuckoo.nbuckets * CuckooFilter.SLOTS
             out_rows.append((sid, round_no, bloom.to_bytes(),
-                             cuckoo.to_bytes()))
+                             cuckoo.to_bytes(), cuckoo.count, cap_now))
             slabs[sid] = (out_rows[-1][2], out_rows[-1][3])
+            stats[sid] = (cuckoo.count, cap_now)
 
         if out_rows:
             self.t_slabs.append(
                 self.spark.createDataFrame(out_rows, SLAB_SCHEMA),
                 {"round": round_no})
-        self._slabs_mem = (self.t_slabs.head(), slabs)
+        head = self.t_slabs.head()
+        self._slabs_mem = (head, slabs)
+        self._stats_mem = (head, stats)
+        self._files_mem = None
+
+    def _update_slabs_distributed(self, new_urls_df, round_no):
+        """Slab-aligned executor-side update (the 10^10-URL path): new
+        url hashes shuffle by slab id; each task builds its slabs' new
+        Bloom+cuckoo bytes and writes them straight to slab parquet —
+        blobs never touch the driver. Slabs that would exceed 80% load
+        are rebuilt exactly from the seen-table slice, shipped through
+        the same shuffle, at a capacity fixed driver-side from the
+        pruned stats read."""
+        stats = self._slab_stats()
+        sid_col = F.pmod(F.col("url_hash"), F.lit(self.n_slabs)).alias("sid")
+        new_counts = {int(r["sid"]): int(r["c"])
+                      for r in new_urls_df.select(sid_col).groupBy("sid")
+                      .agg(F.count("*").alias("c")).collect()}
+        if not new_counts:
+            return
+        build_caps, incr_sids = {}, []
+        for sid, n in sorted(new_counts.items()):
+            st = stats.get(sid)
+            if st is None:
+                build_caps[sid] = max(self.slab_capacity, 2 * n)
+            elif st[0] + n > 0.8 * st[1]:
+                build_caps[sid] = max(2 * st[1], 2 * (st[0] + n))
+            else:
+                incr_sids.append(sid)
+        out = self._run_slab_build(new_urls_df, round_no, build_caps,
+                                   incr_sids).cache()
+        # incremental tasks that overflow their cuckoo emit a NULL blob
+        # (they don't hold the seen slice needed for an exact rebuild):
+        # retry those through the rebuild path. Rare — the 80% driver
+        # pre-check bounds the load.
+        failed = [int(r["slab_id"]) for r in
+                  out.filter("cuckoo IS NULL").select("slab_id").collect()]
+        ok = out.filter("cuckoo IS NOT NULL")
+        if failed:
+            retry_caps = {}
+            for sid in failed:
+                st = stats.get(sid, (0, self.slab_capacity))
+                n = new_counts.get(sid, 0)
+                retry_caps[sid] = max(2 * st[1], 2 * (st[0] + n))
+            ok = ok.unionByName(
+                self._run_slab_build(new_urls_df, round_no, retry_caps, []))
+        self.t_slabs.append(ok, {"round": round_no})
+        out.unpersist()
+        # blobs stayed on executors: drop driver caches (stats/files
+        # reload lazily via their tiny pruned jobs; blobs only if the
+        # broadcast path asks for them)
+        self._slabs_mem = None
+        self._stats_mem = None
+        self._files_mem = None
+
+    def _run_slab_build(self, new_urls_df, round_no, build_caps, incr_sids):
+        """One slab-aligned shuffle + mapInArrow producing SLAB_SCHEMA
+        rows for build_caps slabs (fresh build from the seen slice at the
+        given capacity) and incr_sids slabs (insert new hashes into the
+        previous blobs, read task-side from slab parquet or taken from
+        the warm driver broadcast)."""
+        spark = self.spark
+        n_slabs = self.n_slabs
+        slab_capacity = self.slab_capacity
+        sid_expr = F.pmod(F.col("url_hash"), F.lit(n_slabs)).alias("sid")
+        inputs = []
+        if incr_sids:
+            inputs.append(new_urls_df.select(sid_expr, "url_hash")
+                          .filter(F.col("sid").isin(incr_sids)))
+        if build_caps:
+            # seen ALREADY includes this round's new urls (committed
+            # first), so the slice alone is the slab's exact content
+            seen = self.t_seen.read(spark, schema=SEEN_SCHEMA)
+            inputs.append(seen.select(sid_expr, "url_hash")
+                          .filter(F.col("sid").isin(sorted(build_caps))))
+        inp = inputs[0]
+        for other in inputs[1:]:
+            inp = inp.unionByName(other)
+
+        bc_prev = None
+        mem = getattr(self, "_slabs_mem", None)
+        if incr_sids and mem is not None and mem[0] == self.t_slabs.head():
+            bc_prev = spark.sparkContext.broadcast(
+                {sid: mem[1][sid] for sid in incr_sids if sid in mem[1]})
+        files = self._slab_latest_files()
+        bc_files = spark.sparkContext.broadcast(
+            {sid: files[sid] for sid in incr_sids if sid in files})
+        caps = dict(build_caps)
+
+        def build(batches):
+            by_sid = {}
+            for batch in batches:
+                sids = np.asarray(batch.column(0).to_numpy(
+                    zero_copy_only=False), dtype=np.int64)
+                hs = np.asarray(batch.column(1).to_numpy(
+                    zero_copy_only=False), dtype=np.int64)
+                for sid in np.unique(sids):
+                    by_sid.setdefault(int(sid), []).append(hs[sids == sid])
+
+            def fresh(arr, cap):
+                while True:
+                    nb = BloomFilter.sized_for(cap)
+                    nc = CuckooFilter.sized_for(cap)
+                    if len(arr) == 0 or nc.insert_many(arr) == len(arr):
+                        if len(arr):
+                            nb.add_many(arr)
+                        return nb, nc
+                    cap *= 2  # eviction overflow: double and retry
+
+            rows = []
+            for sid, chunks in sorted(by_sid.items()):
+                arr = np.concatenate(chunks).view(np.uint64)
+                if sid in caps:
+                    nb, nc = fresh(arr, caps[sid])
+                    rows.append((sid, round_no, nb.to_bytes(),
+                                 nc.to_bytes(), nc.count,
+                                 nc.nbuckets * CuckooFilter.SLOTS))
+                    continue
+                prev = bc_prev.value.get(sid) if bc_prev is not None \
+                    else None
+                if prev is None:
+                    info = bc_files.value.get(sid)
+                    if info is not None:
+                        prev = _read_slab_blobs(info[0], sid, info[1])
+                if prev is None:
+                    # no prior slab row (shouldn't happen for incr sids;
+                    # exactness first): fresh build from the new hashes
+                    nb, nc = fresh(arr, max(slab_capacity, 2 * len(arr)))
+                    rows.append((sid, round_no, nb.to_bytes(),
+                                 nc.to_bytes(), nc.count,
+                                 nc.nbuckets * CuckooFilter.SLOTS))
+                    continue
+                bloom = BloomFilter.from_bytes(prev[0])
+                cuckoo = CuckooFilter.from_bytes(prev[1])
+                bloom.add_many(arr)
+                if cuckoo.insert_many(arr) == len(arr):
+                    rows.append((sid, round_no, bloom.to_bytes(),
+                                 cuckoo.to_bytes(), cuckoo.count,
+                                 cuckoo.nbuckets * CuckooFilter.SLOTS))
+                else:
+                    # overflow marker: driver retries via rebuild path
+                    rows.append((sid, round_no, None, None, 0, 0))
+            if rows:
+                cols = list(zip(*rows))
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(cols[0], pa.int64()),
+                     pa.array(cols[1], pa.int64()),
+                     pa.array(cols[2], pa.binary()),
+                     pa.array(cols[3], pa.binary()),
+                     pa.array(cols[4], pa.int64()),
+                     pa.array(cols[5], pa.int64())],
+                    names=[f.name for f in SLAB_SCHEMA.fields])
+
+        n_parts = max(1, min(n_slabs, self.fetch_partitions))
+        return inp.repartition(n_parts, "sid").mapInArrow(build, SLAB_SCHEMA)
+
+    # --- seen-set membership test ---------------------------------------------
 
     def _filter_new_urls(self, candidates, round_no):
         """candidates(url, url_hash, ...) → truly-new rows.
 
         Bloom/cuckoo 'absent' ⇒ definitely new (no join); 'maybe seen' ⇒
-        exact LEFT ANTI JOIN against the seen table."""
+        exact LEFT ANTI JOIN against the seen table. False positives can
+        never drop a real URL; false negatives are structurally
+        impossible (per-round slab persistence)."""
+        if self._seen_partitioned() and self.t_slabs.exists():
+            flagged = self._flag_partitioned(candidates)
+        else:
+            flagged = self._flag_broadcast(candidates)
+        definitely_new = flagged.filter("maybe_seen = 0").drop("maybe_seen")
+        maybe_seen = flagged.filter("maybe_seen = 1").drop("maybe_seen")
+        seen = self.t_seen.read(self.spark, schema=SEEN_SCHEMA)
+        # exact join on BOTH hash and url: a 64-bit hash collision must not
+        # drop a distinct url (exactness of the seen set)
+        confirmed_new = maybe_seen.join(seen.select("url_hash", "url"),
+                                        on=["url_hash", "url"],
+                                        how="left_anti")
+        return definitely_new.unionByName(confirmed_new)
+
+    def _flag_broadcast(self, candidates):
+        """Broadcast-all-slabs test — no shuffle of the candidates; right
+        up to tens of MB of filter bytes."""
         n_slabs = self.n_slabs
         # broadcast, not closure capture: slab blobs would otherwise be
         # pickled into every task
@@ -329,38 +647,45 @@ class CrawlEngine:
                              CuckooFilter.from_bytes(c))
                        for sid, (b, c) in bc_slabs.value.items()}
             for batch in batches:
-                hs = batch.column(batch.schema.get_field_index("url_hash"))
-                arr = _u64(hs.to_numpy(zero_copy_only=False))
-                sids = (arr % np.uint64(n_slabs)).astype(np.int64)
-                maybe = np.zeros(len(arr), dtype=bool)
-                for sid in np.unique(sids):
-                    pair = filters.get(int(sid))
-                    if pair is None:
-                        continue
-                    sel = sids == sid
-                    sub = arr[sel]
-                    m = pair[0].contains_many(sub)
-                    # cuckoo refines bloom positives
-                    m &= pair[1].contains_many(sub)
-                    maybe[sel] = m
-                yield pa.RecordBatch.from_arrays(
-                    list(batch.columns) +
-                    [pa.array(maybe.astype(np.int64), pa.int64())],
-                    schema=pa.schema(list(batch.schema) +
-                                     [pa.field("maybe_seen", pa.int64())]))
+                yield _flag_batch(batch, n_slabs,
+                                  lambda sid: filters.get(sid))
 
-        # no repartition needed for the test pass (slabs broadcast via
-        # closure); only the slab UPDATE needs slab-aligned partitioning
-        flagged = candidates.mapInArrow(flag, flag_schema)
-        definitely_new = flagged.filter("maybe_seen = 0").drop("maybe_seen")
-        maybe_seen = flagged.filter("maybe_seen = 1").drop("maybe_seen")
-        seen = self.t_seen.read(self.spark, schema=SEEN_SCHEMA)
-        # exact join on BOTH hash and url: a 64-bit hash collision must not
-        # drop a distinct url (exactness of the seen set)
-        confirmed_new = maybe_seen.join(seen.select("url_hash", "url"),
-                                        on=["url_hash", "url"],
-                                        how="left_anti")
-        return definitely_new.unionByName(confirmed_new)
+        return candidates.mapInArrow(flag, flag_schema)
+
+    def _flag_partitioned(self, candidates):
+        """Partition-aligned test (the 10^10-URL path): candidates are
+        shuffled by slab id and each task loads ONLY its slabs' blobs
+        from slab parquet (worker-cached, predicate-pushdown read) — no
+        broadcast of the full filter set."""
+        n_slabs = self.n_slabs
+        bc_files = self.spark.sparkContext.broadcast(
+            self._slab_latest_files())
+
+        flag_schema = StructType(candidates.schema.fields +
+                                 [StructField("maybe_seen", LongType())])
+
+        def flag(batches):
+            loaded = {}
+
+            def get(sid):
+                if sid not in loaded:
+                    info = bc_files.value.get(sid)
+                    blobs = (_read_slab_blobs(info[0], sid, info[1])
+                             if info is not None else None)
+                    loaded[sid] = None if blobs is None else (
+                        BloomFilter.from_bytes(blobs[0]),
+                        CuckooFilter.from_bytes(blobs[1]))
+                return loaded[sid]
+
+            for batch in batches:
+                yield _flag_batch(batch, n_slabs, get)
+
+        n_parts = max(1, min(n_slabs, self.fetch_partitions))
+        return (candidates
+                .withColumn("_sid",
+                            F.pmod(F.col("url_hash"), F.lit(n_slabs)))
+                .repartition(n_parts, "_sid").drop("_sid")
+                .mapInArrow(flag, flag_schema))
 
     def _robots_df(self):
         """Per-host robots.txt bodies — computed once per engine and
@@ -606,7 +931,8 @@ class CrawlEngine:
                                 F.lit(round_no).cast("long").alias("round"))
                 .coalesce(new_coalesce),
                 {"round": round_no})
-            self._update_slabs(new_urls.select("url", "url_hash"), round_no)
+            self._update_slabs(new_urls.select("url", "url_hash"),
+                               round_no, n_new=n_new)
         else:
             # still mark the round on the tables for rollback bookkeeping
             for t in (self.t_frontier, self.t_seen, self.t_slabs):
