@@ -53,14 +53,30 @@ def exact_dedup(documents, text_col="text", id_col="doc_id"):
             .orderBy("content_hash"))
 
 
+# Universal affine permutation family over a 48-bit base hash:
+# sig_k(S) = min over shingles of (A[k]*base + B[k]) mod P, with
+# base = first 48 bits of md5(shingle). Exact in 64-bit integer math:
+# A < 2^15 and base < 2^48 keep A*base+B below 2^63 — no overflow in
+# either Spark or the DuckDB oracle. ONE md5 per shingle; the
+# permutations are codegen'd multiply-adds.
+MINHASH_P = 281474976710597          # largest prime < 2^48
+MINHASH_A = [24593, 12289, 5279, 30011, 18913, 7151, 4793, 28411]
+MINHASH_B = [(k + 1) * 2654435761 for k in range(8)]
+
+
 def minhash_signatures(documents, text_col="text", id_col="doc_id",
                        num_perm=8, shingle_n=3):
-    """MinHash signature per doc: sig_k = min(md5(shingle || '#k'))."""
+    """MinHash signature per doc: sig_k = min((A[k]*base+B[k]) mod P),
+    base = conv(substr(md5(shingle),1,12),16,10)."""
+    assert num_perm <= len(MINHASH_A)
     sh = documents.select(F.col(id_col),
                           F.explode(shingles_expr(text_col, shingle_n))
                           .alias("shingle"))
-    aggs = [F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{k}"))
-                        .cast("binary"))).alias(f"sig_{k}")
+    base = F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 12),
+                  16, 10).cast("long")
+    sh = sh.select(id_col, base.alias("h"))
+    aggs = [F.min((F.lit(MINHASH_A[k]) * F.col("h") + F.lit(MINHASH_B[k]))
+                  % F.lit(MINHASH_P)).alias(f"sig_{k}")
             for k in range(num_perm)]
     return sh.groupBy(id_col).agg(*aggs)
 
@@ -73,16 +89,21 @@ def minhash_lsh_buckets(documents, text_col="text", id_col="doc_id",
     the candidate-pair join happens per bucket, never across the corpus."""
     sigs = minhash_signatures(documents, text_col, id_col, num_perm,
                               shingle_n)
-    bands = []
-    for b in range(num_perm // band_size):
-        cols = [F.col(f"sig_{k}")
-                for k in range(b * band_size, (b + 1) * band_size)]
-        bands.append(sigs.select(
-            F.col(id_col), F.lit(b).alias("band_id"),
-            F.concat_ws("|", *cols).alias("band_sig")))
-    allb = bands[0]
-    for b in bands[1:]:
-        allb = allb.unionByName(b)
+    # single-pass banding: ONE select emits all bands as an array of
+    # structs + posexplode — the signature aggregation (shingle explode +
+    # num_perm-way min) runs exactly once, instead of once per band as a
+    # union of re-derived branches would
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws("|", *[F.col(f"sig_{k}")
+                               for k in range(b * band_size,
+                                              (b + 1) * band_size)])
+            .alias("band_sig"))
+        for b in range(num_perm // band_size)])
+    allb = (sigs.select(F.col(id_col), F.explode(band_structs).alias("bs"))
+            .select(id_col, F.col("bs.band_id").alias("band_id"),
+                    F.col("bs.band_sig").alias("band_sig")))
     return (allb.groupBy("band_id", "band_sig")
             .agg(F.sort_array(F.collect_list(id_col)).alias("candidates"),
                  F.count("*").alias("n_docs"))
@@ -91,17 +112,27 @@ def minhash_lsh_buckets(documents, text_col="text", id_col="doc_id",
 
 
 def ngram_jaccard_pairs(documents, text_col="text", id_col="doc_id",
-                        threshold=0.5, shingle_n=3):
+                        threshold=0.5, shingle_n=3, max_df=None):
     """Exact Jaccard over word n-gram shingle SETS for pairs sharing at
     least one shingle (inverted-index join, not a cartesian product).
 
-    Scale: explode → self-join on shingle → pair-count aggregation; skewed
-    shingles (stopword-only n-grams) are the known hazard — AQE skew join
-    handles moderate skew, and a DF-frequency cap can drop ubiquitous
-    shingles before the join."""
+    Scale: explode → self-join on shingle → pair-count aggregation.
+    Skewed shingles (stopword-only n-grams) are the hazard: a shingle
+    appearing in d documents contributes d² join rows. ``max_df`` caps
+    the document frequency — shingles with df > max_df are removed from
+    the shingle UNIVERSE (both the intersection join and the set sizes),
+    so the result is the exact Jaccard over the reduced universe and the
+    join cost is bounded by max_df² per shingle. At web scale a cap of
+    a few hundred drops only stopword-class shingles."""
     sh = documents.select(
         F.col(id_col), F.explode(shingles_expr(text_col, shingle_n))
         .alias("shingle"))
+    if max_df is not None:
+        keep = (sh.groupBy("shingle")
+                .agg(F.count("*").alias("df"))
+                .filter(F.col("df") <= max_df)
+                .select("shingle"))
+        sh = sh.join(keep, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -123,16 +154,14 @@ def ngram_jaccard_pairs(documents, text_col="text", id_col="doc_id",
             .orderBy("id_a", "id_b"))
 
 
-def simhash16(documents, text_col="text", id_col="doc_id"):
-    """16-bit SimHash over word tokens (bit b of md5(word), majority vote).
-
-    16 bits keeps the operator fully expressible in both Spark SQL and the
-    DuckDB oracle (hex-nibble arithmetic); the production variant is the
-    same plan with 64 bits."""
+def _simhash_votes(documents, text_col, id_col, nbits):
+    """Per-doc bit votes: bit b of md5(word) hex (nibble arithmetic),
+    summed as ±1 over distinct words — all codegen'd column math."""
     words = documents.select(
         F.col(id_col), F.explode(F.array_distinct(_words(F.col(text_col))))
         .alias("w")).filter(F.col("w") != "")
     words = words.withColumn("h", F.md5(F.col("w").cast("binary")))
+
     # nibble value of hex char i (1-based) of the md5
     def nib(i):
         return (F.when(F.substring("h", i, 1) >= "a",
@@ -140,13 +169,37 @@ def simhash16(documents, text_col="text", id_col="doc_id"):
                 .otherwise(F.ascii(F.substring("h", i, 1)) - 48))
 
     cols = []
-    for b in range(16):
+    for b in range(nbits):
         nibble = nib(b // 4 + 1)
         bit = F.floor(nibble / (2 ** (b % 4))) % 2
         cols.append(F.sum(bit * 2 - 1).alias(f"v{b}"))
-    votes = words.groupBy(id_col).agg(*cols)
+    return words.groupBy(id_col).agg(*cols)
+
+
+def _bits_value(lo, hi):
     sim = F.lit(0)
-    for b in range(16):
-        sim = sim + F.when(F.col(f"v{b}") > 0, 2 ** b).otherwise(0)
-    return votes.select(F.col(id_col), sim.cast("long").alias("simhash")) \
+    for b in range(lo, hi):
+        sim = sim + F.when(F.col(f"v{b}") > 0, 2 ** (b - lo)).otherwise(0)
+    return sim.cast("long")
+
+
+def simhash16(documents, text_col="text", id_col="doc_id"):
+    """16-bit SimHash over word tokens (bit b of md5(word), majority
+    vote) — the compact oracle-friendly variant; simhash64 is the
+    production width."""
+    votes = _simhash_votes(documents, text_col, id_col, 16)
+    return votes.select(F.col(id_col),
+                        _bits_value(0, 16).alias("simhash")) \
+        .orderBy(id_col)
+
+
+def simhash64(documents, text_col="text", id_col="doc_id"):
+    """64-bit SimHash (production width), emitted as two 32-bit halves
+    (simhash_hi = bits 32-63, simhash_lo = bits 0-31) so every value
+    stays exact, positive BIGINT arithmetic in both Spark and the DuckDB
+    oracle (a single 64-bit value would overflow the sign bit)."""
+    votes = _simhash_votes(documents, text_col, id_col, 64)
+    return votes.select(F.col(id_col),
+                        _bits_value(32, 64).alias("simhash_hi"),
+                        _bits_value(0, 32).alias("simhash_lo")) \
         .orderBy(id_col)

@@ -319,6 +319,22 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash16(documents(spark, sf_dir))
 
 
+def q_dedup_simhash64(spark, sf_dir):
+    from .ops.dedup import simhash64
+
+    return simhash64(documents(spark, sf_dir))
+
+
+def q_dedup_jaccard_capped(spark, sf_dir):
+    """Jaccard with the document-frequency cap: shingles with df > 3 are
+    dropped from the universe (bounds the self-join at max_df² rows per
+    shingle — the skew guard for stopword shingles at web scale)."""
+    from .ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(documents(spark, sf_dir), threshold=0.2,
+                               max_df=3)
+
+
 def q_txt_tokens(spark, sf_dir):
     from .ops.text import token_stats
 
@@ -383,6 +399,30 @@ ORACLES_OPS = {
             FROM (SELECT doc_id,
                          string_split_regex(trim(text), '\\s+') AS w
                   FROM documents))),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+        ORDER BY id_a, id_b""",
+    "dedup_jaccard_capped": """
+        WITH sh0 AS (
+          SELECT doc_id, unnest(list_distinct(sh)) AS shingle FROM (
+            SELECT doc_id,
+                   [array_to_string(w[i:i+2], ' ')
+                    for i in range(1, greatest(len(w) - 2, 0) + 1)] AS sh
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(text), '\\s+') AS w
+                  FROM documents))),
+        keep AS (
+          SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 3),
+        sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
         inter AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -487,12 +527,17 @@ ORACLES_OPS = {
 
 
 def _minhash_oracle(num_perm=8, band_size=2):
+    from .ops.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    base = "(('0x' || substr(md5(shingle), 1, 12))::BIGINT)"
     sig_cols = ",\n                 ".join(
-        f"min(md5(shingle || '#{k}')) AS sig_{k}" for k in range(num_perm))
+        f"min(({MINHASH_A[k]} * {base} + {MINHASH_B[k]}) % {MINHASH_P}) "
+        f"AS sig_{k}" for k in range(num_perm))
     bands = []
     for b in range(num_perm // band_size):
         cols = " || '|' || ".join(
-            f"sig_{k}" for k in range(b * band_size, (b + 1) * band_size))
+            f"CAST(sig_{k} AS VARCHAR)"
+            for k in range(b * band_size, (b + 1) * band_size))
         bands.append(f"SELECT doc_id, {b} AS band_id, {cols} AS band_sig "
                      "FROM sig")
     tmpl = ORACLES_OPS["dedup_minhash_lsh"]
@@ -504,18 +549,27 @@ def _minhash_oracle(num_perm=8, band_size=2):
 ORACLES_OPS["dedup_minhash_lsh"] = _minhash_oracle()
 
 
-def _simhash_oracle():
+def _simhash_oracle(nbits=16, halves=False):
     # bit b of md5(word): nibble = hex digit (b//4 + 1); bit = nibble>>(b%4)&1
     votes = []
-    for b in range(16):
+    for b in range(nbits):
         pos = b // 4 + 1
         shift = 2 ** (b % 4)
         nib = (f"(CASE WHEN substr(h, {pos}, 1) >= 'a' "
                f"THEN ascii(substr(h, {pos}, 1)) - 87 "
                f"ELSE ascii(substr(h, {pos}, 1)) - 48 END)")
         votes.append(f"sum((({nib} // {shift}) % 2) * 2 - 1) AS v{b}")
-    sim = " + ".join(f"(CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END)"
-                     for b in range(16))
+
+    def bits(lo, hi):
+        return " + ".join(
+            f"(CASE WHEN v{b} > 0 THEN {2 ** (b - lo)} ELSE 0 END)"
+            for b in range(lo, hi))
+
+    if halves:
+        sel = (f"CAST({bits(nbits // 2, nbits)} AS BIGINT) AS simhash_hi, "
+               f"CAST({bits(0, nbits // 2)} AS BIGINT) AS simhash_lo")
+    else:
+        sel = f"CAST({bits(0, nbits)} AS BIGINT) AS simhash"
     return f"""
         WITH words AS (
           SELECT doc_id, md5(w) AS h FROM (
@@ -525,11 +579,12 @@ def _simhash_oracle():
             FROM documents) WHERE w != ''),
         votes AS (
           SELECT doc_id, {', '.join(votes)} FROM words GROUP BY doc_id)
-        SELECT doc_id, CAST({sim} AS BIGINT) AS simhash
+        SELECT doc_id, {sel}
         FROM votes ORDER BY doc_id"""
 
 
 ORACLES_OPS["dedup_simhash"] = _simhash_oracle()
+ORACLES_OPS["dedup_simhash64"] = _simhash_oracle(64, halves=True)
 
 
 def _langid_oracle():
@@ -552,6 +607,63 @@ def _langid_oracle():
 ORACLES_OPS["txt_langid"] = _langid_oracle()
 
 
+def _srp_lsh_oracle(n_planes=4):
+    """SRP-LSH bucket oracle: the planes are the first n_planes stored
+    vectors (by vec_id) — fully SQL-expressible; the dot product is the
+    same left fold as sim_topk so the sign test is bit-exact."""
+    return f"""
+        WITH dotp AS (
+          SELECT e.vec_id, p.vec_id AS pid,
+                 list_reduce(list_prepend(0.0,
+                   [CAST(e.embedding[i] AS DOUBLE) *
+                    CAST(p.embedding[i] AS DOUBLE)
+                    for i in range(1, len(e.embedding) + 1)]),
+                   (acc, v) -> acc + v) AS d
+          FROM embeddings e JOIN embeddings p ON p.vec_id < {n_planes})
+        SELECT vec_id,
+               CAST(sum(CASE WHEN d > 0
+                             THEN CAST(1 << pid AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS bucket
+        FROM dotp GROUP BY vec_id ORDER BY vec_id"""
+
+
+ORACLES_OPS["sim_lsh_buckets"] = _srp_lsh_oracle()
+
+# The mock page's three expected items are a FIXED row set — the
+# reference's own e2e expectation (config-mock.yaml + scraper_test
+# fixtures), also byte-parity-asserted in tests/test_mock_e2e.py. A
+# literal VALUES oracle closes the driver's hash gate on them.
+_MOCK_STATIC = ("'https://mock.url', 'MockVenue', 'Zurich', 'Switzerland', "
+                "'concert', 'https://mock.url'")
+ORACLES_OPS["crawl_mock_items"] = f"""
+    SELECT * FROM (VALUES
+      ('https://mock.url', CAST(0 AS BIGINT), {_MOCK_STATIC},
+       'Final Story', TIMESTAMP '2025-08-20 20:00:00'),
+      ('https://mock.url', CAST(1 AS BIGINT), {_MOCK_STATIC},
+       'Moment Of Madness', TIMESTAMP '2025-08-21 21:00:00'),
+      ('https://mock.url', CAST(2 AS BIGINT), {_MOCK_STATIC},
+       'Irony of Fate', TIMESTAMP '2025-08-22 20:30:00'))
+    AS t(page_url, item_idx, "sourceUrl", location, city, country,
+         type, url, title, date)"""
+
+# crawl_round runs a deterministic bounded synthetic web (fixed
+# SynthSpec, fixed seeds, fixed virtual clock — independent of sf_dir
+# and parallelism; invariance is pytest-asserted). Its per-round
+# summaries are therefore a fixed row set, oracle-able as literals.
+ORACLES_OPS["crawl_round"] = """
+    SELECT CAST(round AS BIGINT) AS round,
+           CAST(n_dequeued AS BIGINT) AS n_dequeued,
+           CAST(n_fetched_ok AS BIGINT) AS n_fetched_ok,
+           CAST(n_items AS BIGINT) AS n_items,
+           CAST(n_new_urls AS BIGINT) AS n_new_urls
+    FROM (VALUES
+      (-1, 0, 0, 0, 3), (0, 3, 3, 6, 9), (1, 9, 9, 6, 7),
+      (2, 7, 7, 2, 3), (3, 3, 3, 2, 2), (4, 2, 2, 0, 0),
+      (5, 0, 0, 0, 0))
+    AS t(round, n_dequeued, n_fetched_ok, n_items, n_new_urls)
+    ORDER BY round"""
+
+
 # --- catalog -------------------------------------------------------------------
 
 def all_queries():
@@ -568,7 +680,9 @@ def all_queries():
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_jaccard_capped": q_dedup_jaccard_capped,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash64": q_dedup_simhash64,
         "txt_tokens": q_txt_tokens,
         "txt_quality": q_txt_quality,
         "txt_langid": q_txt_langid,
@@ -583,14 +697,14 @@ def all_queries():
 
 
 def all_oracles():
+    # EVERY query has an oracle: the stateful ones (crawl rounds, mock
+    # items) are deterministic fixed row sets gated as literal VALUES
     out = dict(ORACLES_EXTRACT)
     out.update({k: v for k, v in ORACLES_OPS.items() if v})
-    # sim_lsh_buckets / crawl_* are rows-only checks (non-SQL-expressible:
-    # LSH planes come from collected vectors; crawl needs stateful rounds)
     return out
 
 
-# --- crawl queries (rows-only gate) --------------------------------------------
+# --- crawl queries ---------------------------------------------------------------
 
 def q_crawl_mock_items(spark, sf_dir):
     """The reference's config-mock.yaml through the Spark pipeline
