@@ -65,6 +65,11 @@ FRONTIER_SCHEMA = StructType([
     StructField("priority", DoubleType()),
     StructField("depth", LongType()),
     StructField("discovered_round", LongType()),
+    # position in a pagination chain: seeds and item outlinks are page 1;
+    # a pagination outlink is parent page_no + 1 and is NOT emitted once
+    # paginator.max_pages is reached (reference scraper.go:574,600 —
+    # max_pages 0 = unbounded)
+    StructField("page_no", LongType()),
 ])
 
 FETCHED_SCHEMA = StructType([
@@ -220,12 +225,15 @@ class CrawlEngine:
         # one schema for all hosts: factory must produce field-compatible
         # scrapers (heterogeneous configs get engine instances per config)
         self._proto = scraper_factory("proto.invalid")
-        if any(f.on_subpage and not f.value for f in self._proto.fields):
-            raise ValueError(
-                "on_subpage fields are not supported in crawl mode: detail "
-                "pages are crawled as outlinks and joined afterwards (use "
-                "spark.pipeline.extract_stage2_subpages over the items + "
-                "pages tables)")
+        # on_subpage fields: main-page fields extract during the crawl
+        # (subpage columns stay NULL in the items table); detail pages are
+        # crawled as outlinks, and items_final() joins them back and runs
+        # the stage-2 extraction + final filters — same semantics as the
+        # batch pipeline. Filters at crawl time use the partial-item fast
+        # path (absent fields skip their filters), matching the
+        # reference's filter-fast ordering (scraper.go:381-389).
+        self._has_subpage = any(f.on_subpage and not f.value
+                                for f in self._proto.fields)
 
         self.t_frontier = self.store.table("frontier")
         self.t_fetched = self.store.table("fetched")
@@ -269,7 +277,7 @@ class CrawlEngine:
 
     def bootstrap(self):
         """Round -1: seed the frontier + seen set."""
-        rows = [(u, None, url_host(u), 0.0, 0, -1) for u in self.seeds]
+        rows = [(u, None, url_host(u), 0.0, 0, -1, 1) for u in self.seeds]
         df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA) \
             .withColumn("url_hash", F.xxhash64("url"))
         self.t_frontier.append(df, {"round": -1})
@@ -788,6 +796,7 @@ class CrawlEngine:
                     host = d["host"][r]
                     prio = d["priority"][r]
                     depth = d["depth"][r]
+                    page_no = d["page_no"][r] or 1
                     host_seq = d["_host_seq"][r]
                     rb = d["_robots"][r]
                     if host not in robots_cache:
@@ -829,10 +838,14 @@ class CrawlEngine:
                                 v = item.get(f.name)
                                 if v:
                                     rows.append(_outlink_row(
-                                        url, host, v, depth, fcols))
-                    if pr.next_page_url:
+                                        url, host, v, depth, 1, fcols))
+                    # pagination outlink: page page_no+1, capped by
+                    # paginator.max_pages (0 = unbounded; reference
+                    # scraper.go:574,600)
+                    mp = scraper.paginator.max_pages
+                    if pr.next_page_url and (mp == 0 or page_no < mp):
                         rows.append(_outlink_row(url, host, pr.next_page_url,
-                                                 depth, fcols))
+                                                 depth, page_no + 1, fcols))
                     rows.append(_fetch_row(url, host, fetch_ts, "ok",
                                            n_items, pr.nr_errors, fcols))
                 if rows:
@@ -909,8 +922,10 @@ class CrawlEngine:
         # --- outlinks → seen-set → new frontier rows
         outlinks = (result.filter("_kind = 'outlink'")
                     .select(F.col("_outlink").alias("url"),
-                            (F.col("_depth") + 1).alias("depth"))
-                    .groupBy("url").agg(F.min("depth").alias("depth"))
+                            (F.col("_depth") + 1).alias("depth"),
+                            F.col("_page_no").alias("page_no"))
+                    .groupBy("url").agg(F.min("depth").alias("depth"),
+                                        F.min("page_no").alias("page_no"))
                     .withColumn("url_hash", F.xxhash64("url"))
                     # lower() matches url_host() (urlsplit().hostname is
                     # lowercased) — one host identity per site everywhere
@@ -991,6 +1006,39 @@ class CrawlEngine:
             r += 1
         return summaries
 
+    def items_table_schema(self):
+        fields = [StructField("page_url", StringType()),
+                  StructField("item_idx", LongType())]
+        for f in item_spark_schema(self._proto).fields:
+            if f.name not in ("page_url", "item_idx", "nr_errors"):
+                fields.append(f)
+        fields.append(StructField("round", LongType()))
+        return StructType(fields)
+
+    def items_final(self):
+        """The user-facing item set: for configs WITHOUT on_subpage
+        fields this is just the committed items table; with them, the
+        detail pages were crawled as outlinks, so join their html back
+        and run the batch pipeline's stage-2 extraction + FINAL filters
+        (reference semantics: filters see the complete item). The join
+        on the url field is also the subpage fetch-dedup (A1).
+
+        Assumes subpage field definitions are host-independent (the
+        engine already requires field-compatible scrapers across hosts).
+        """
+        from .pipeline import extract_stage2_subpages, finalize_items_df
+
+        items = self.t_items.read(self.spark,
+                                  schema=self.items_table_schema())
+        if not self._has_subpage:
+            return finalize_items_df(items.withColumn("nr_errors",
+                                                      F.lit(0)), self._proto,
+                                     now=self.now)
+        raw = items.withColumn("nr_errors", F.lit(0).cast("long"))
+        raw = extract_stage2_subpages(raw, self.pages, self._proto,
+                                      now=self.now)
+        return finalize_items_df(raw, self._proto, now=self.now)
+
     # ------------------------------------------------------------------ schema
 
     def _crawl_schema(self):
@@ -1007,6 +1055,7 @@ class CrawlEngine:
             StructField("_item_idx", LongType()),
             StructField("_outlink", StringType()),
             StructField("_depth", LongType()),
+            StructField("_page_no", LongType()),
         ]
         for f in item_spark_schema(self._proto).fields:
             if f.name not in ("page_url", "item_idx", "nr_errors"):
@@ -1027,6 +1076,7 @@ class CrawlEngine:
             pa.field("_item_idx", pa.int64()),
             pa.field("_outlink", pa.string()),
             pa.field("_depth", pa.int64()),
+            pa.field("_page_no", pa.int64()),
         ]
         for f in _arrow_schema(self._proto):
             if f.name not in ("page_url", "item_idx", "nr_errors"):
@@ -1042,21 +1092,21 @@ def _fetch_row(url, host, ts, status, n_items, n_errors, fcols):
     return {"_kind": "fetch", "_page_url": url, "_host": host,
             "_fetch_ts": ts, "_status": status, "_n_items": n_items,
             "_n_errors": n_errors, "_item_idx": None, "_outlink": None,
-            "_depth": None, **_blank_fields(fcols)}
+            "_depth": None, "_page_no": None, **_blank_fields(fcols)}
 
 
-def _outlink_row(url, host, outlink, depth, fcols):
+def _outlink_row(url, host, outlink, depth, page_no, fcols):
     return {"_kind": "outlink", "_page_url": url, "_host": host,
             "_fetch_ts": None, "_status": None, "_n_items": None,
             "_n_errors": None, "_item_idx": None, "_outlink": outlink,
-            "_depth": depth, **_blank_fields(fcols)}
+            "_depth": depth, "_page_no": page_no, **_blank_fields(fcols)}
 
 
 def _item_row(url, host, idx, item, fcols):
     row = {"_kind": "item", "_page_url": url, "_host": host,
            "_fetch_ts": None, "_status": None, "_n_items": None,
            "_n_errors": None, "_item_idx": idx, "_outlink": None,
-           "_depth": None}
+           "_depth": None, "_page_no": None}
     from datetime import timezone as _tz
 
     for name, kind in fcols:
