@@ -193,6 +193,31 @@ class Paginator:
 
 
 @dataclass
+class Interaction:
+    """A page interaction for the dynamic fetcher — parity with
+    /root/reference/internal/types/types.go:7-12. Types: 'click' (on
+    selector, `count` times, `delay` ms between — defaults 1 / 500ms in
+    the fetcher, dynamicfetcher.go:91-99) and 'scroll' (to page bottom).
+    Unknown types are kept and warned about at fetch time, matching the
+    reference (dynamicfetcher.go:125-127)."""
+    type: str = ""
+    selector: str = ""
+    count: int = 0
+    delay: int = 0  # milliseconds
+
+    TYPE_CLICK = "click"
+    TYPE_SCROLL = "scroll"
+
+    @classmethod
+    def from_dict(cls, d):
+        d = d or {}
+        return cls(type=d.get("type", "") or "",
+                   selector=d.get("selector", "") or "",
+                   count=int(d.get("count", 0)),
+                   delay=int(d.get("delay", 0)))
+
+
+@dataclass
 class FetcherConfig:
     type: str = ""  # '', 'static', 'dynamic', 'mock'
     user_agent: str = ""
@@ -219,6 +244,9 @@ class Scraper:
     filters: list = dc_field(default_factory=list)
     paginator: Paginator = dc_field(default_factory=Paginator)
     fetcher: FetcherConfig = dc_field(default_factory=FetcherConfig)
+    # scraper-level page interactions, run by the dynamic fetcher on the
+    # initial page load (reference scraper.go:290,351)
+    interaction: list = dc_field(default_factory=list)
 
     @classmethod
     def from_dict(cls, d):
@@ -232,6 +260,8 @@ class Scraper:
                      for f in (d.get("filters") or [])],
             paginator=Paginator.from_dict(d.get("paginator")),
             fetcher=FetcherConfig.from_dict(d.get("fetcher")),
+            interaction=[Interaction.from_dict(i)
+                         for i in (d.get("interaction") or [])],
         )
 
 

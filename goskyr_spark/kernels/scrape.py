@@ -32,13 +32,19 @@ from .gocompat import GoskyrError
 
 
 class PageResult:
-    __slots__ = ("items", "nr_errors", "next_page_url", "needs_subpage")
+    __slots__ = ("items", "nr_errors", "next_page_url", "needs_subpage",
+                 "has_next_selector")
 
-    def __init__(self, items, nr_errors, next_page_url, needs_subpage):
+    def __init__(self, items, nr_errors, next_page_url, needs_subpage,
+                 has_next_selector=False):
         self.items = items
         self.nr_errors = nr_errors
         self.next_page_url = next_page_url
         self.needs_subpage = needs_subpage
+        # the paginator selector matched a node on this page — the
+        # dynamic paginator's continue condition (scraper.go:570-572),
+        # independent of whether that node has a usable href
+        self.has_next_selector = has_next_selector
 
 
 def scrape_page(scraper, page_url, html, filters=None, now=None,
@@ -87,13 +93,17 @@ def scrape_page(scraper, page_url, html, filters=None, now=None,
         items.append(current)
 
     next_page_url = ""
+    has_next_selector = False
     if scraper.paginator.location.selector:
+        has_next_selector = bool(
+            css.find(doc, scraper.paginator.location.selector))
         try:
             next_page_url = get_url_string(scraper.paginator.location,
                                            [doc], base_url)
         except GoskyrError:
             next_page_url = ""
-    return PageResult(items, nr_errors, next_page_url, bool(subpage_fields))
+    return PageResult(items, nr_errors, next_page_url, bool(subpage_fields),
+                      has_next_selector)
 
 
 def extract_subpage_fields(scraper, item, subpage_htmls, filters=None,
@@ -156,7 +166,16 @@ def scrape_local(scraper, fetch, now=None, raw_dyn=False, max_rounds=1000):
     all_items = []
 
     page_url = scraper.url
-    html = fetch(page_url)
+    dynamic = scraper.fetcher.type == "dynamic"
+    if dynamic:
+        # dynamic configs take an opts-aware fetch callback; the initial
+        # load replays the scraper-level interactions (scraper.go:351)
+        from ..spark.fetchers import FetchOpts
+
+        html = fetch(page_url,
+                     FetchOpts(interaction=list(scraper.interaction)))
+    else:
+        html = fetch(page_url)
     if html is None:
         raise GoskyrError(f"page {page_url} could not be fetched")
     current_page = 0
@@ -182,15 +201,31 @@ def scrape_local(scraper, fetch, now=None, raw_dyn=False, max_rounds=1000):
         current_page += 1
         if current_page >= max_rounds:
             break
-        if not pr.next_page_url:
-            break
-        if scraper.paginator.max_pages and \
-                current_page >= scraper.paginator.max_pages:
-            break
-        page_url = pr.next_page_url
-        html = fetch(page_url)
-        if html is None:
-            break
+        mp = scraper.paginator.max_pages
+        if dynamic and scraper.paginator.location.selector:
+            # dynamic paginator (scraper.go:568-585): the next page is the
+            # SAME url re-fetched with the paginator selector clicked
+            # current_page times (clicks restart on every re-fetch)
+            if not pr.has_next_selector or (mp and current_page >= mp):
+                break
+            from ..config import Interaction
+            from ..spark.fetchers import FetchOpts
+
+            ia = Interaction(type=Interaction.TYPE_CLICK,
+                             selector=scraper.paginator.location.selector,
+                             count=current_page)
+            html = fetch(page_url, FetchOpts(interaction=[ia]))
+            if html is None:
+                break
+        else:
+            if not pr.next_page_url:
+                break
+            if mp and current_page >= mp:
+                break
+            page_url = pr.next_page_url
+            html = fetch(page_url)
+            if html is None:
+                break
     guess_year(scraper.fields, all_items,
                (now or datetime.now(timezone.utc)))
     return all_items, stats

@@ -25,8 +25,13 @@ FEATURE_NAMES = ([f"letter_{chr(97 + i)}" for i in range(26)] +
                   "whitespace_count"])
 
 
-def features_row(value: str, word_set) -> list:
-    """Pure-Python kernel (parity with calculateFeatures)."""
+def features_row(value: str, word_set=None) -> list:
+    """Pure-Python kernel (parity with calculateFeatures). word_set=None
+    uses the built-in deterministic dictionary (ops.wordlist)."""
+    if word_set is None:
+        from .wordlist import default_words
+
+        word_set = default_words()
     freqs = [0] * 26
     digits = 0
     for ch in value:
@@ -48,7 +53,15 @@ def features_row(value: str, word_set) -> list:
 
 def features_df(values_df, value_col="value", class_col="class",
                 word_list=None):
-    """Distributed feature extraction as column expressions (no UDF)."""
+    """Distributed feature extraction as column expressions (no UDF).
+
+    word_list=None uses the built-in deterministic dictionary; pass
+    frozenset() to disable dict_words_count, or ops.wordlist.load_words
+    output for a reference-style word-lists directory."""
+    if word_list is None:
+        from .wordlist import default_words
+
+        word_list = default_words()
     v = F.col(value_col)
     cols = []
     for i in range(26):

@@ -20,13 +20,26 @@ used by the mock path becomes wall-clock here.
 
 from __future__ import annotations
 
+import logging
 import time
+from dataclasses import dataclass, field as dc_field
+
+logger = logging.getLogger("goskyr_spark.fetchers")
 
 DEFAULT_USER_AGENT = "goskyr web scraper (github.com/jakopako/goskyr)"
+DEFAULT_PAGE_LOAD_WAIT_MS = 2000   # dynamicfetcher.go:44-46
+DEFAULT_INTERACTION_DELAY_MS = 500  # dynamicfetcher.go:91-93
 
 
 class FetchError(Exception):
     pass
+
+
+@dataclass
+class FetchOpts:
+    """Per-fetch options — parity with fetch.FetchOpts (fetcher.go:43):
+    the interaction list the dynamic fetcher replays after navigation."""
+    interaction: list = dc_field(default_factory=list)
 
 
 class StaticFetcher:
@@ -34,7 +47,7 @@ class StaticFetcher:
         self.user_agent = user_agent or DEFAULT_USER_AGENT
         self.timeout = timeout
 
-    def fetch(self, url: str) -> str:
+    def fetch(self, url: str, opts: FetchOpts = None) -> str:
         import requests
 
         resp = requests.get(
@@ -48,15 +61,43 @@ class StaticFetcher:
         return resp.text
 
 
-class DynamicFetcher:  # pragma: no cover — interface stub
-    """Browser-rendered fetch (reference: chromedp). No browser exists in
-    this environment; a Playwright-backed implementation plugs in here."""
+class DynamicFetcher:
+    """Browser-rendered fetch (reference: chromedp,
+    dynamicfetcher.go:29-177). No browser exists in this environment, so
+    ``fetch`` raises — but the interaction plumbing is REAL:
+    ``build_actions`` compiles a FetchOpts into the same deterministic
+    action plan the reference appends (navigate, page-load sleep, then
+    per interaction: click xN with delay / scroll+delay; unknown types
+    warned and skipped), so a Playwright/chromedp backend only has to
+    execute the plan."""
 
-    def __init__(self, user_agent: str = "", page_load_wait_ms: int = 2000):
+    def __init__(self, user_agent: str = "", page_load_wait_ms: int = 0):
         self.user_agent = user_agent or DEFAULT_USER_AGENT
-        self.page_load_wait_ms = page_load_wait_ms
+        self.page_load_wait_ms = page_load_wait_ms or \
+            DEFAULT_PAGE_LOAD_WAIT_MS
 
-    def fetch(self, url: str) -> str:
+    def build_actions(self, url: str, opts: FetchOpts = None):
+        """[(action, params...)] — the chromedp action list analog."""
+        actions = [("navigate", url),
+                   ("sleep_ms", self.page_load_wait_ms)]
+        for ia in (opts.interaction if opts else []):
+            delay = ia.delay if ia.delay > 0 else DEFAULT_INTERACTION_DELAY_MS
+            if ia.type == "click":
+                count = ia.count if ia.count > 0 else 1
+                for _ in range(count):
+                    # click only if the node exists (dynamicfetcher.go:103-110)
+                    actions.append(("click_if_present", ia.selector))
+                    actions.append(("sleep_ms", delay))
+            elif ia.type == "scroll":
+                actions.append(("scroll_bottom",))
+                actions.append(("sleep_ms", delay))
+            else:
+                logger.warning("unknown interaction type %s", ia.type)
+        actions.append(("outer_html",))
+        return actions
+
+    def fetch(self, url: str, opts: FetchOpts = None) -> str:
+        self.build_actions(url, opts)  # validate the plan either way
         raise NotImplementedError(
             "dynamic (browser) fetching requires a headless browser; "
             "not available in this environment")
@@ -67,7 +108,7 @@ class MockFetcher:
         # list of {'url':..., 'content':...} like config mock_pages
         self.pages = {p["url"]: p["content"] for p in mock_pages}
 
-    def fetch(self, url: str) -> str:
+    def fetch(self, url: str, opts: FetchOpts = None) -> str:
         if url not in self.pages:
             raise FetchError(f"page {url} not found in mock pages")
         return self.pages[url]

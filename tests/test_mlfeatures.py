@@ -66,3 +66,43 @@ def test_features_df_matches_kernel(use_spark):
         want = features_row(v, set(words))
         have = [r[n] for n in FEATURE_NAMES]
         assert have == want, (v, list(zip(FEATURE_NAMES, have, want)))
+
+
+def test_default_word_list_end_to_end():
+    """dict_words_count with the built-in deterministic dictionary
+    (no word_list argument) — exercised end-to-end, not constant 0."""
+    from goskyr_spark.ops.mlfeatures import FEATURE_NAMES, features_row
+    from goskyr_spark.ops.wordlist import default_words, load_words
+
+    idx = FEATURE_NAMES.index("dict_words_count")
+    row = features_row("the concert starts today at the venue")
+    assert row[idx] >= 5  # the/concert/today/the/venue all in the list
+    assert features_row("zzqq xkcdw")[idx] == 0
+    assert len(default_words()) > 1000
+
+    # loadWords parity: lowercased lines, recursive dir walk
+    import os, tempfile
+
+    d = tempfile.mkdtemp()
+    os.makedirs(os.path.join(d, "sub"))
+    with open(os.path.join(d, "a.txt"), "w") as f:
+        f.write("Alpha\nBETA\n\n")
+    with open(os.path.join(d, "sub", "b.txt"), "w") as f:
+        f.write("gamma\n")
+    assert load_words(d) == frozenset({"alpha", "beta", "gamma"})
+
+
+def test_features_df_default_word_list():
+    from goskyr_spark.spark.session import get_spark
+    from goskyr_spark.ops.mlfeatures import FEATURE_NAMES, features_df, features_row
+
+    spark = get_spark(app="ml-tests", master="local[2]",
+                      shuffle_partitions=2)
+    vals = ["the concert starts today", "zzqq 123"]
+    df = spark.createDataFrame([(v, "t") for v in vals],
+                               "value string, class string")
+    got = {r["rune_count"]: r for r in features_df(df).collect()}
+    for v in vals:
+        want = features_row(v)
+        r = got[want[FEATURE_NAMES.index("rune_count")]]
+        assert [r[n] for n in FEATURE_NAMES] == want

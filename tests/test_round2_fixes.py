@@ -274,3 +274,114 @@ def test_crawl_subpage_fields_match_batch_pipeline(tmp_path):
         expected.extend(tuple(r[c] for c in sorted(items.columns))
                         for r in items.collect())
     assert got == sorted(expected)
+
+
+# --- interaction config plumbing + dynamic paginator ---------------------------
+
+def test_interaction_config_parsing():
+    cfg = loads_config("""
+scrapers:
+  - name: t
+    url: x
+    item: div.e
+    fetcher: {type: dynamic}
+    interaction:
+      - {type: click, selector: "button.more", count: 3, delay: 250}
+      - {type: scroll}
+    fields:
+      - name: t
+        location: {selector: span.t}
+""")
+    sc = cfg.scrapers[0]
+    assert len(sc.interaction) == 2
+    i0, i1 = sc.interaction
+    assert (i0.type, i0.selector, i0.count, i0.delay) == \
+        ("click", "button.more", 3, 250)
+    assert (i1.type, i1.count, i1.delay) == ("scroll", 0, 0)
+
+
+def test_dynamic_fetcher_action_plan():
+    """build_actions compiles the reference's chromedp plan: navigate,
+    page-load sleep, click xCount (default 1) each followed by delay
+    (default 500ms), scroll+delay; unknown types skipped with warning."""
+    from goskyr_spark.config import Interaction
+    from goskyr_spark.spark.fetchers import DynamicFetcher, FetchOpts
+
+    f = DynamicFetcher()
+    opts = FetchOpts(interaction=[
+        Interaction(type="click", selector="a.next", count=2, delay=100),
+        Interaction(type="scroll"),
+        Interaction(type="hover", selector="x"),  # unknown → warn+skip
+    ])
+    plan = f.build_actions("https://u", opts)
+    assert plan == [
+        ("navigate", "https://u"), ("sleep_ms", 2000),
+        ("click_if_present", "a.next"), ("sleep_ms", 100),
+        ("click_if_present", "a.next"), ("sleep_ms", 100),
+        ("scroll_bottom",), ("sleep_ms", 500),
+        ("outer_html",),
+    ]
+    # defaults: count 1, delay 500
+    plan1 = f.build_actions("u", FetchOpts(interaction=[
+        Interaction(type="click", selector="s")]))
+    assert plan1[2:4] == [("click_if_present", "s"), ("sleep_ms", 500)]
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        f.fetch("https://u")
+
+
+DYN_PAGE_CFG = """
+scrapers:
+  - name: t
+    url: "https://dyn.test/list"
+    item: div.e
+    fetcher: {type: dynamic}
+    fields:
+      - name: t
+        location: {selector: span.t}
+    paginator:
+      location: {selector: a.next}
+      max_pages: 3
+"""
+
+
+def _dyn_page(page, last):
+    nxt = '<a class="next">more</a>' if page < last else ""
+    return f'<div class="e"><span class="t">p{page}</span></div>{nxt}'
+
+
+def test_dynamic_paginator_clicks_same_url():
+    """Dynamic pagination re-fetches the SAME url with click-count
+    interactions (scraper.go:568-585), bounded by max_pages and by the
+    selector disappearing."""
+    from goskyr_spark.kernels.scrape import scrape_local
+
+    calls = []
+
+    def fetch(url, opts=None):
+        clicks = 0
+        if opts is not None and opts.interaction:
+            ia = opts.interaction[0]
+            assert ia.type == "click" and ia.selector == "a.next"
+            clicks = ia.count
+        calls.append((url, clicks))
+        return _dyn_page(clicks + 1, last=5)
+
+    sc = loads_config(DYN_PAGE_CFG).scrapers[0]
+    items, stats = scrape_local(sc, fetch)
+    assert [i["t"] for i in items] == ["p1", "p2", "p3"]  # max_pages=3
+    assert calls == [("https://dyn.test/list", 0),
+                     ("https://dyn.test/list", 1),
+                     ("https://dyn.test/list", 2)]
+
+    # selector disappears before max_pages → stops early
+    def fetch2(url, opts=None):
+        clicks = opts.interaction[0].count if opts and opts.interaction \
+            else 0
+        return _dyn_page(clicks + 1, last=2)
+
+    sc2 = loads_config(DYN_PAGE_CFG.replace("max_pages: 3",
+                                            "max_pages: 0")).scrapers[0]
+    items2, _ = scrape_local(sc2, fetch2)
+    assert [i["t"] for i in items2] == ["p1", "p2"]
