@@ -900,8 +900,18 @@ class CrawlEngine:
                                   F.monotonically_increasing_id()
                                   .bitwiseAND(F.lit((1 << 33) - 1)))
                       ).cache()
-        pid_counts = {int(r["_pid"]): int(r["count"])
-                      for r in seq_sorted.groupBy("_pid").count().collect()}
+        # ONE tiny aggregation serves both the fetch_seq offsets AND the
+        # per-partition lineage metrics/round summary (merged jobs — the
+        # per-round fixed overhead is what bounds small-round throughput)
+        started = datetime.now(timezone.utc)
+        stats = (seq_sorted.groupBy("_pid")
+                 .agg(F.count("*").alias("n_fetched"),
+                      F.sum(F.when(F.col("status") == "ok", 1).otherwise(0))
+                      .alias("n_ok"),
+                      F.sum("n_items").alias("n_items"),
+                      F.sum("n_errors").alias("n_errors"))).collect()
+        ended = datetime.now(timezone.utc)
+        pid_counts = {int(r["_pid"]): int(r["n_fetched"]) for r in stats}
         offs, acc = {}, 0
         for pid in sorted(pid_counts):  # range partitions are key-ordered
             offs[pid] = acc
@@ -913,8 +923,8 @@ class CrawlEngine:
                                   (F.col("_local") + 1 +
                                    F.element_at(off_map, F.col("_pid")))
                                   .cast("long"))
-                      .select(*[f.name for f in FETCHED_SCHEMA.fields])
-                      ).cache()
+                      .select(*[f.name for f in FETCHED_SCHEMA.fields]))
+        # single consumer (the append) — reads the seq_sorted cache
         self.t_fetched.append(fetch_rows.coalesce(out_coalesce),
                               {"round": round_no})
         dequeued.unpersist()
@@ -953,18 +963,9 @@ class CrawlEngine:
             for t in (self.t_frontier, self.t_seen, self.t_slabs):
                 t.commit_meta({"round": round_no})
 
-        # --- per-partition lineage metrics (one small collect; the round
-        # summary derives from the same rows driver-side — no extra job)
-        started = datetime.now(timezone.utc)
-        stats = (fetch_rows.groupBy(
-            F.spark_partition_id().alias("partition"))
-            .agg(F.count("*").alias("n_fetched"),
-                 F.sum(F.when(F.col("status") == "ok", 1).otherwise(0))
-                 .alias("n_ok"),
-                 F.sum("n_items").alias("n_items"),
-                 F.sum("n_errors").alias("n_errors"))).collect()
-        ended = datetime.now(timezone.utc)
-        metrics_rows = [(round_no, int(r["partition"]), int(r["n_fetched"]),
+        # --- per-partition lineage metrics: from the SAME aggregation
+        # that produced the fetch_seq offsets (no extra job)
+        metrics_rows = [(round_no, int(r["_pid"]), int(r["n_fetched"]),
                          int(r["n_items"] or 0), int(r["n_errors"] or 0),
                          started, ended) for r in stats]
         self.t_metrics.append(
@@ -984,7 +985,6 @@ class CrawlEngine:
             [tuple(summary.values())], ROUNDS_SCHEMA), {"round": round_no})
         result.unpersist()
         seq_sorted.unpersist()
-        fetch_rows.unpersist()
         new_urls.unpersist()
         return summary
 
