@@ -127,17 +127,37 @@ def ngram_jaccard_pairs(documents, text_col="text", id_col="doc_id",
     sh = documents.select(
         F.col(id_col), F.explode(shingles_expr(text_col, shingle_n))
         .alias("shingle"))
+    # inverted index: one groupBy(shingle) builds per-shingle posting
+    # lists; pairs are GENERATED from each list (i<j combinations as a
+    # nested-transform array expression) instead of a self-join — one
+    # shuffle of the postings replaces the sort-merge join of two full
+    # explode branches. AQE reuses the groupBy exchange for the sizes
+    # branch. Ubiquitous shingles (posting list > max_df) leave the
+    # universe with a plain filter — the skew guard costs nothing.
+    buckets = (sh.groupBy("shingle")
+               .agg(F.sort_array(F.collect_list(id_col)).alias("ids")))
     if max_df is not None:
-        keep = (sh.groupBy("shingle")
-                .agg(F.count("*").alias("df"))
-                .filter(F.col("df") <= max_df)
-                .select("shingle"))
-        sh = sh.join(keep, "shingle")
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (a.join(b, "shingle")
-             .filter(F.col("id_a") < F.col("id_b"))
+        buckets = buckets.filter(F.size("ids") <= max_df)
+        # set sizes over the REDUCED universe: re-derive from the kept
+        # posting lists (AQE reuses the groupBy(shingle) exchange at
+        # runtime, so this does not re-shuffle the corpus)
+        sizes = (buckets.select(F.explode("ids").alias(id_col))
+                 .groupBy(id_col).agg(F.count("*").alias("n_sh")))
+    else:
+        # uncapped: the set size is a per-doc column expression — no
+        # second pass over the postings at all
+        sizes = documents.select(
+            F.col(id_col),
+            F.size(shingles_expr(text_col, shingle_n)).alias("n_sh"))
+    pair_arr = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + 2,
+                    F.greatest(F.size("ids") - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    inter = (buckets.filter(F.size("ids") >= 2)
+             .select(F.explode(pair_arr).alias("p"))
+             .select("p.id_a", "p.id_b")
              .groupBy("id_a", "id_b")
              .agg(F.count("*").alias("n_inter")))
     sa = sizes.select(F.col(id_col).alias("id_a"),

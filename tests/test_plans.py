@@ -84,3 +84,45 @@ def test_filter_pushdown_reaches_scan(spark):
     plan = _plan(docs.filter(F.col("n_chars") > 300).select("doc_id"))
     assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,300)]" \
         in plan or "GreaterThan(n_chars,300)" in plan
+
+
+def test_minhash_single_signature_pass(spark):
+    """Single-pass banding: the shingle explode + signature aggregation
+    must appear ONCE in the plan (round 1 had 4 uncached band branches
+    re-deriving it — 4x the cost)."""
+    from goskyr_spark.ops.dedup import minhash_lsh_buckets
+    from goskyr_spark.queries import documents
+
+    df = minhash_lsh_buckets(documents(spark, SF_DIR))
+    plan = _plan(df)
+    # one Generate (explode) node for the shingles, one for the band
+    # structs (formatted output lists each node twice: tree + details)
+    n_generate = plan.count(") Generate")
+    assert n_generate <= 2, f"signature pass duplicated:\n{plan}"
+    # exactly one scan of the documents parquet
+    assert plan.count(") Scan parquet") == 1, plan
+
+
+def test_jaccard_no_self_join(spark):
+    """Pairs come from posting-list combinations, not a shingle
+    self-join: no SortMergeJoin/ShuffledHashJoin of two explode branches
+    (the joins that remain are the tiny sizes lookups)."""
+    from goskyr_spark.ops.dedup import ngram_jaccard_pairs
+    from goskyr_spark.queries import documents
+
+    for kw in ({}, {"max_df": 3}):
+        df = ngram_jaccard_pairs(documents(spark, SF_DIR), threshold=0.2,
+                                 **kw)
+        plan = _plan(df)
+        # no sort-merge/shuffled-hash join of two full explode branches
+        assert "SortMergeJoin" not in plan, plan
+        assert "ShuffledHashJoin" not in plan, plan
+        # exactly ONE posting-list aggregation subtree (collect_list =
+        # ObjectHashAggregate partial+final); uncapped sizes are per-doc
+        # column expressions, capped sizes re-read the kept postings
+        # (AQE reuses that exchange at runtime)
+        # capped: the kept-postings subtree is referenced by pairs +
+        # sizes(id_a) + sizes(id_b) = 3 identical exchanges (3x2 node
+        # entries), deduplicated by AQE exchange reuse at runtime
+        limit = 2 if not kw else 6
+        assert plan.count(") ObjectHashAggregate") <= limit, plan
