@@ -64,6 +64,30 @@ def srp_lsh_buckets(embeddings, n_planes=4, id_col="vec_id",
             .orderBy(id_col))
 
 
+def embed_near_dup_pairs(embeddings, threshold=0.3, n_planes=4,
+                         id_col="vec_id", vec_col="embedding"):
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: candidate
+    pairs only form WITHIN an SRP bucket (expected corpus/2^n_planes of
+    the corpus each — never an all-pairs join), then exact cosine
+    verifies. The scale story is identical to MinHash-LSH banding: the
+    bucket join is the candidate generator, the dot product the
+    verifier."""
+    buckets = srp_lsh_buckets(embeddings, n_planes, id_col, vec_col)
+    e = embeddings.join(buckets, id_col)
+    a = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+                 "bucket")
+    b = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+                 "bucket")
+    return (a.join(b, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(_dot(F.col("_va"), F.col("_vb")) /
+                            (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+                            6).alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+            .orderBy("id_a", "id_b"))
+
+
 def ann_topk_lsh(embeddings, query_vec_id=0, k=10, n_planes=4,
                  id_col="vec_id", vec_col="embedding"):
     """ANN: restrict the exact cosine scan to the query's LSH bucket.

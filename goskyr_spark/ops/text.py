@@ -32,6 +32,27 @@ def token_stats(documents, text_col="text", id_col="doc_id"):
     ).orderBy(id_col)
 
 
+# GPT-2-style pretokenizer shape, simplified to constructs whose
+# semantics agree between Java regex (Spark) and RE2 (DuckDB):
+# contractions, space-prefixed letter runs, digit runs, punct runs,
+# residual whitespace. Both engines use leftmost-first alternation.
+BPE_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)"
+               r"| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+")
+
+
+def bpe_token_count(documents, text_col="text", id_col="doc_id"):
+    """BPE-ish token count: matches of the GPT-2-style pretokenizer
+    regex over lowercased text — a much better LLM-token estimate than
+    chars/4, still a pure column expression (regexp_extract_all in
+    codegen)."""
+    t = F.lower(F.trim(F.col(text_col)))
+    return documents.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_PATTERN), F.lit(0)))
+        .alias("n_bpe_tokens"),
+    ).orderBy(id_col)
+
+
 def quality_score(documents, text_col="text", id_col="doc_id"):
     """Heuristic quality features: mean word length, stopword ratio,
     punctuation density, digit density + a combined score."""

@@ -371,6 +371,30 @@ def q_sim_lsh_buckets(spark, sf_dir):
     return srp_lsh_buckets(embeddings(spark, sf_dir), n_planes=4)
 
 
+def q_sim_ann_lsh(spark, sf_dir):
+    """ANN: exact cosine top-k restricted to the query's SRP-LSH bucket
+    (the scan prunes to ~corpus/2^n_planes at scale)."""
+    from .ops.similarity import ann_topk_lsh
+
+    return ann_topk_lsh(embeddings(spark, sf_dir), query_vec_id=0, k=10,
+                        n_planes=4)
+
+
+def q_dedup_embed(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, SRP-bucket candidates + exact
+    cosine verify."""
+    from .ops.similarity import embed_near_dup_pairs
+
+    return embed_near_dup_pairs(embeddings(spark, sf_dir), threshold=0.3,
+                                n_planes=4)
+
+
+def q_txt_bpe(spark, sf_dir):
+    from .ops.text import bpe_token_count
+
+    return bpe_token_count(documents(spark, sf_dir))
+
+
 def q_mm_decode(spark, sf_dir):
     from .ops.multimodal import decode_metadata, payload_table
 
@@ -629,6 +653,62 @@ def _srp_lsh_oracle(n_planes=4):
 
 ORACLES_OPS["sim_lsh_buckets"] = _srp_lsh_oracle()
 
+_DOT_FOLD = """list_reduce(list_prepend(0.0,
+                   [CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)
+                    for i in range(1, len({a}) + 1)]),
+                   (acc, v) -> acc + v)"""
+
+
+def _cosine_sql(a, b):
+    num = _DOT_FOLD.format(a=a, b=b)
+    na = _DOT_FOLD.format(a=a, b=a)
+    nb = _DOT_FOLD.format(a=b, b=b)
+    return f"round({num} / (sqrt({na}) * sqrt({nb})), 6)"
+
+
+def _bucket_cte(n_planes=4):
+    return f"""buckets AS (
+          SELECT e.vec_id,
+                 CAST(sum(CASE WHEN
+                   {_DOT_FOLD.format(a='e.embedding', b='p.embedding')} > 0
+                   THEN CAST(1 << p.vec_id AS BIGINT) ELSE 0 END)
+                   AS BIGINT) AS bucket
+          FROM embeddings e JOIN embeddings p ON p.vec_id < {n_planes}
+          GROUP BY e.vec_id)"""
+
+
+ORACLES_OPS["sim_ann_lsh"] = f"""
+        WITH {_bucket_cte()},
+        qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+               {_cosine_sql('e.embedding', 'q.qv')} AS cosine
+        FROM embeddings e
+        JOIN buckets be ON be.vec_id = e.vec_id, qb, q
+        WHERE be.bucket = qb.bucket AND e.vec_id != 0
+        ORDER BY cosine DESC, e.vec_id LIMIT 10"""
+
+ORACLES_OPS["dedup_embed"] = f"""
+        WITH {_bucket_cte()},
+        cand AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ea.embedding AS va, eb.embedding AS vb
+          FROM buckets a JOIN buckets b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id)
+        SELECT id_a, id_b, {_cosine_sql('va', 'vb')} AS cosine
+        FROM cand
+        WHERE {_cosine_sql('va', 'vb')} >= 0.3
+        ORDER BY id_a, id_b"""
+
+ORACLES_OPS["txt_bpe"] = r"""
+        SELECT doc_id,
+               len(regexp_extract_all(lower(trim(text)),
+                   '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+|\s+'))
+               AS n_bpe_tokens
+        FROM documents ORDER BY doc_id"""
+
 # The mock page's three expected items are a FIXED row set — the
 # reference's own e2e expectation (config-mock.yaml + scraper_test
 # fixtures), also byte-parity-asserted in tests/test_mock_e2e.py. A
@@ -689,6 +769,9 @@ def all_queries():
         "txt_fingerprint": q_txt_fingerprint,
         "sim_topk": q_sim_topk,
         "sim_lsh_buckets": q_sim_lsh_buckets,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "dedup_embed": q_dedup_embed,
+        "txt_bpe": q_txt_bpe,
         "mm_decode": q_mm_decode,
         "crawl_mock_items": q_crawl_mock_items,
         "crawl_round": q_crawl_round,
