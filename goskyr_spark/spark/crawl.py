@@ -195,7 +195,7 @@ class CrawlEngine:
                  n_slabs=8, slab_capacity=4096, salt_threshold=512,
                  salt_factor=4, now=None, fetch_partitions=None,
                  slab_driver_threshold=100_000, seen_mode="auto",
-                 seen_broadcast_max_bytes=64 << 20):
+                 seen_broadcast_max_bytes=64 << 20, debug=False):
         assert n_slabs & (n_slabs - 1) == 0, "n_slabs must be a power of two"
         self.spark = spark
         self.store = SnapshotStore(workdir)
@@ -235,6 +235,11 @@ class CrawlEngine:
         self._has_subpage = any(f.on_subpage and not f.value
                                 for f in self._proto.fields)
 
+        # S8 debug dump, Spark-first: instead of one html file per fetch
+        # (reference fetcher.go:80-111), debug mode appends the fetched
+        # pages to a debug_pages snapshot table with round lineage
+        self.debug = debug
+        self.t_debug = self.store.table("debug_pages")
         self.t_frontier = self.store.table("frontier")
         self.t_fetched = self.store.table("fetched")
         self.t_seen = self.store.table("seen")
@@ -270,8 +275,11 @@ class CrawlEngine:
         """Roll every table back to the last COMPLETE round; makes resume
         after a mid-round crash replay identically."""
         last = self.last_complete_round()
-        for t in (self.t_frontier, self.t_fetched, self.t_seen,
-                  self.t_slabs, self.t_items, self.t_metrics):
+        tables = [self.t_frontier, self.t_fetched, self.t_seen,
+                  self.t_slabs, self.t_items, self.t_metrics]
+        if self.debug:
+            tables.append(self.t_debug)
+        for t in tables:
             self._rollback_table(t, last)
         return last
 
@@ -756,6 +764,15 @@ class CrawlEngine:
 
         robots_df = self._robots_df()
 
+        if self.debug:
+            dbg = (dequeued
+                   .join(self.pages.select("url", "html"), "url", "left")
+                   .select("url", "host", "html",
+                           F.lit(round_no).cast("long").alias("round")))
+            self.t_debug.append(
+                dbg.coalesce(max(1, n_dequeued // 50_000 + 1)),
+                {"round": round_no})
+
         work = (dequeued
                 .join(self.pages.select(F.col("url"),
                                         F.col("html").alias("_html")),
@@ -1005,6 +1022,37 @@ class CrawlEngine:
                 break
             r += 1
         return summaries
+
+    def compact(self):
+        """Bound manifest/file growth on long crawls: rewrite each
+        table's CURRENT snapshot into few files, and drop superseded
+        slab generations (only the latest row per slab survives). Old
+        snapshots stay readable — files are never deleted — so
+        rollback/time-travel and crash-resume are unaffected; the
+        compacted snapshot carries the last complete round's meta and is
+        itself a valid resume point. At the 10^10 design point this is
+        the maintenance job a real Iceberg deployment schedules as
+        rewrite_data_files."""
+        last = self.last_complete_round()
+        slabs = self.t_slabs.read(self.spark, schema=SLAB_SCHEMA)
+        w = Window.partitionBy("slab_id").orderBy(F.desc("round"))
+        latest = (slabs.withColumn("_rn", F.row_number().over(w))
+                  .filter("_rn = 1").drop("_rn"))
+        self.t_slabs.overwrite(
+            latest.coalesce(max(1, self.n_slabs // 64 + 1)),
+            {"round": last, "compacted": True})
+        for t, schema in ((self.t_frontier, FRONTIER_SCHEMA),
+                          (self.t_seen, SEEN_SCHEMA),
+                          (self.t_fetched, FETCHED_SCHEMA),
+                          (self.t_items, self.items_table_schema())):
+            df = t.read(self.spark, schema=schema)
+            n = df.count()
+            t.overwrite(df.coalesce(max(1, n // 500_000 + 1)),
+                        {"round": last, "compacted": True})
+        # driver caches key on table HEAD, which just changed
+        self._slabs_mem = None
+        self._stats_mem = None
+        self._files_mem = None
 
     def items_table_schema(self):
         fields = [StructField("page_url", StringType()),

@@ -42,10 +42,32 @@ class FetchOpts:
     interaction: list = dc_field(default_factory=list)
 
 
+def write_html_debug(url: str, html: str, debug_dir: str) -> str:
+    """S8 debug dump — writeHTMLToFile parity (fetcher.go:80-111): mkdir
+    -p the debug dir and write the fetched html as <host>-<suffix>.html.
+    The reference suffixes a RANDOM string; this uses the first 8 hex of
+    md5(url) so reruns are deterministic (test- and diff-friendly) —
+    content bytes are identical either way."""
+    import hashlib
+    import os
+    from urllib.parse import urlsplit
+
+    if debug_dir:
+        os.makedirs(debug_dir, exist_ok=True)
+    host = urlsplit(url).hostname or "page"
+    name = f"{host}-{hashlib.md5(url.encode()).hexdigest()[:8]}.html"
+    path = os.path.join(debug_dir, name)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(html)
+    return path
+
+
 class StaticFetcher:
-    def __init__(self, user_agent: str = "", timeout: float = 30.0):
+    def __init__(self, user_agent: str = "", timeout: float = 30.0,
+                 debug_dir: str = ""):
         self.user_agent = user_agent or DEFAULT_USER_AGENT
         self.timeout = timeout
+        self.debug_dir = debug_dir
 
     def fetch(self, url: str, opts: FetchOpts = None) -> str:
         import requests
@@ -58,6 +80,8 @@ class StaticFetcher:
             # reference: fmt.Errorf("status code error: %d %s", ...)
             raise FetchError(
                 f"status code error: {resp.status_code} {resp.reason}")
+        if self.debug_dir:  # staticfetcher.go:49-51
+            write_html_debug(url, resp.text, self.debug_dir)
         return resp.text
 
 
@@ -118,7 +142,8 @@ def new_fetcher(fetcher_config):
     """Factory with the reference's defaults (fetcher.go:17-78)."""
     ftype = fetcher_config.type or "static"
     if ftype == "static":
-        return StaticFetcher(fetcher_config.user_agent)
+        return StaticFetcher(fetcher_config.user_agent,
+                             debug_dir=fetcher_config.debug_dir)
     if ftype == "dynamic":
         return DynamicFetcher(fetcher_config.user_agent)
     if ftype == "mock":

@@ -385,3 +385,35 @@ def test_dynamic_paginator_clicks_same_url():
                                             "max_pages: 0")).scrapers[0]
     items2, _ = scrape_local(sc2, fetch2)
     assert [i["t"] for i in items2] == ["p1", "p2"]
+
+
+def test_debug_pages_sink_and_html_dump(tmp_path):
+    """S8: crawl debug mode appends fetched pages to a debug_pages
+    snapshot table; write_html_debug mirrors writeHTMLToFile."""
+    from goskyr_spark.spark.crawl import CrawlEngine
+    from goskyr_spark.spark.fetchers import write_html_debug
+    from goskyr_spark.spark.session import get_spark
+
+    p = write_html_debug("https://h.test/a/b", "<p>x</p>",
+                         str(tmp_path / "dbg"))
+    assert p.endswith(".html") and "h.test-" in p
+    assert open(p).read() == "<p>x</p>"
+
+    spark = get_spark(app="r2-debug", master="local[2]",
+                      shuffle_partitions=2)
+    pages = spark.createDataFrame(
+        [("https://d.test/list/1",
+          b'<div class="e"><span class="t">x</span></div>')],
+        "url string, html binary")
+
+    def factory(host):
+        return loads_config(MIXED_CFG).scrapers[0]
+
+    eng = CrawlEngine(spark, str(tmp_path / "wd"), pages, factory,
+                      ["https://d.test/list/1"], debug=True,
+                      now=datetime(2026, 3, 1, tzinfo=timezone.utc))
+    eng.run(max_rounds=3)
+    rows = eng.t_debug.read(spark).collect()
+    assert len(rows) == 1
+    assert rows[0]["url"] == "https://d.test/list/1"
+    assert bytes(rows[0]["html"]).startswith(b'<div class="e">')

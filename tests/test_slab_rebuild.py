@@ -138,3 +138,30 @@ def test_partitioned_seen_resume(spark, tmp_path):
                      seeds, **kw)
     e2.run(max_rounds=20)
     assert _state(ref, spark) == _state(e2, spark)
+
+
+def test_compact_preserves_state_and_resume(spark, tmp_path):
+    """compact() must not change any observable state, must shrink the
+    slab table to one row per slab, and the compacted store must still
+    crawl on (resume point)."""
+    eng = _run_engine(spark, tmp_path, "cmp", n_slabs=2, slab_capacity=8,
+                      fetch_partitions=4)
+    before = _state(eng, spark)
+    n_slab_rows_before = eng.t_slabs.read(spark).count()
+    eng.compact()
+    assert _state(eng, spark) == before
+    assert eng.t_slabs.read(spark).count() == 2  # latest per slab only
+    assert n_slab_rows_before > 2
+
+    # a fresh engine over the compacted store resumes and stays done
+    spec = SynthSpec(n_hosts=4, pages_per_host=3, items_per_page=4,
+                     hot_hosts=1, hot_factor=2)
+    from goskyr_spark.synth import synth_pages_df as _spd
+
+    pages = _spd(spark, spec, include_fixtures=False)
+    seeds = [f"https://{host_name(h)}/list/1" for h in range(spec.n_hosts)]
+    e2 = CrawlEngine(spark, str(tmp_path / "cmp"), pages, event_scraper,
+                     seeds, now=NOW, n_slabs=2, slab_capacity=8,
+                     fetch_partitions=4)
+    e2.run(max_rounds=30)
+    assert _state(e2, spark) == before
