@@ -64,6 +64,46 @@ def srp_lsh_buckets(embeddings, n_planes=4, id_col="vec_id",
             .orderBy(id_col))
 
 
+def ivf_assign(embeddings, n_centroids=4, id_col="vec_id",
+               vec_col="embedding"):
+    """IVF coarse quantization: assign every vector to the centroid with
+    the highest cosine (ties → lowest centroid id). Centroids here are
+    the first n_centroids stored vectors — deterministic and
+    oracle-checkable; a production deployment plugs k-means centroids
+    into the same broadcast + argmax-over-columns plan. At 10^10 vectors
+    the table is written partitioned by `centroid`, so an ANN probe
+    scans ~1/n_centroids of the corpus (partition pruning)."""
+    cents = [r[0] for r in embeddings.orderBy(id_col)
+             .select(vec_col).limit(n_centroids).collect()]
+    v = F.col(vec_col)
+    sims = []
+    for c in cents:
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        sims.append(_dot(v, arr) / (_norm(v) * _norm(arr)))
+    best, best_s = F.lit(0), sims[0]
+    for i in range(1, len(sims)):
+        gt = sims[i] > best_s
+        best = F.when(gt, i).otherwise(best)
+        best_s = F.when(gt, sims[i]).otherwise(best_s)
+    return (embeddings
+            .select(F.col(id_col), best.cast("long").alias("centroid"))
+            .orderBy(id_col))
+
+
+def ann_topk_ivf(embeddings, query_vec_id=0, k=10, n_centroids=4,
+                 id_col="vec_id", vec_col="embedding"):
+    """ANN via IVF: exact cosine top-k restricted to the query's
+    centroid cell (n_probe=1). Same pruning contract as ann_topk_lsh
+    with a different candidate generator."""
+    assign = ivf_assign(embeddings, n_centroids, id_col, vec_col)
+    with_c = embeddings.join(assign, id_col)
+    qc = with_c.filter(F.col(id_col) == query_vec_id) \
+        .select(F.col("centroid").alias("_qc"))
+    cand = with_c.join(F.broadcast(qc), F.col("centroid") == F.col("_qc")) \
+        .drop("_qc", "centroid")
+    return cosine_topk(cand, query_vec_id, k, id_col, vec_col)
+
+
 def embed_near_dup_pairs(embeddings, threshold=0.3, n_planes=4,
                          id_col="vec_id", vec_col="embedding"):
     """Embedding-cosine near-duplicate pairs, LSH-bucketed: candidate

@@ -395,6 +395,21 @@ def q_txt_bpe(spark, sf_dir):
     return bpe_token_count(documents(spark, sf_dir))
 
 
+def q_sim_ivf_assign(spark, sf_dir):
+    """IVF coarse quantization (centroid per vector)."""
+    from .ops.similarity import ivf_assign
+
+    return ivf_assign(embeddings(spark, sf_dir), n_centroids=4)
+
+
+def q_sim_ann_ivf(spark, sf_dir):
+    """ANN via IVF cell probe (n_probe=1)."""
+    from .ops.similarity import ann_topk_ivf
+
+    return ann_topk_ivf(embeddings(spark, sf_dir), query_vec_id=0, k=10,
+                        n_centroids=4)
+
+
 def q_mm_decode(spark, sf_dir):
     from .ops.multimodal import decode_metadata, payload_table
 
@@ -702,6 +717,43 @@ ORACLES_OPS["dedup_embed"] = f"""
         WHERE {_cosine_sql('va', 'vb')} >= 0.3
         ORDER BY id_a, id_b"""
 
+def _ivf_cte(n_centroids=4):
+    """Per-vector centroid assignment: argmax cosine over the first
+    n_centroids stored vectors, ties to the lowest centroid id — the
+    same strict-> when-chain as the Spark expression."""
+    sims = []
+    for c in range(n_centroids):
+        num = _DOT_FOLD.format(a="e.embedding", b=f"c{c}.v")
+        na = _DOT_FOLD.format(a="e.embedding", b="e.embedding")
+        nb = _DOT_FOLD.format(a=f"c{c}.v", b=f"c{c}.v")
+        sims.append(f"({num} / (sqrt({na}) * sqrt({nb})))")
+    best, best_s = "0", sims[0]
+    for i in range(1, n_centroids):
+        best = f"(CASE WHEN {sims[i]} > {best_s} THEN {i} ELSE {best} END)"
+        best_s = (f"(CASE WHEN {sims[i]} > {best_s} THEN {sims[i]} "
+                  f"ELSE {best_s} END)")
+    froms = ", ".join(
+        f"(SELECT embedding AS v FROM embeddings WHERE vec_id = {c}) c{c}"
+        for c in range(n_centroids))
+    return (f"assign AS (SELECT e.vec_id, CAST({best} AS BIGINT) AS "
+            f"centroid FROM embeddings e, {froms})")
+
+
+ORACLES_OPS["sim_ivf_assign"] = f"""
+        WITH {_ivf_cte()}
+        SELECT vec_id, centroid FROM assign ORDER BY vec_id"""
+
+ORACLES_OPS["sim_ann_ivf"] = f"""
+        WITH {_ivf_cte()},
+        qc AS (SELECT centroid FROM assign WHERE vec_id = 0),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+               {_cosine_sql('e.embedding', 'q.qv')} AS cosine
+        FROM embeddings e
+        JOIN assign a ON a.vec_id = e.vec_id, qc, q
+        WHERE a.centroid = qc.centroid AND e.vec_id != 0
+        ORDER BY cosine DESC, e.vec_id LIMIT 10"""
+
 ORACLES_OPS["txt_bpe"] = r"""
         SELECT doc_id,
                len(regexp_extract_all(lower(trim(text)),
@@ -770,6 +822,8 @@ def all_queries():
         "sim_topk": q_sim_topk,
         "sim_lsh_buckets": q_sim_lsh_buckets,
         "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ivf_assign": q_sim_ivf_assign,
+        "sim_ann_ivf": q_sim_ann_ivf,
         "dedup_embed": q_dedup_embed,
         "txt_bpe": q_txt_bpe,
         "mm_decode": q_mm_decode,

@@ -710,6 +710,10 @@ class CrawlEngine:
         if getattr(self, "_robots_cache_df", None) is None:
             self._robots_cache_df = (
                 self.pages
+                # StringEndsWith pushes down to the parquet scan; the
+                # exact concat equality (not pushdown-able) then only
+                # refines the ~one-row-per-host remainder
+                .filter(F.col("url").endswith("/robots.txt"))
                 .withColumn("_h", F.expr("parse_url(url, 'HOST')"))
                 .filter(F.col("url") == F.concat(F.lit("https://"),
                                                  F.col("_h"),
