@@ -184,9 +184,11 @@ def bench_queries(spark):
     from goskyr_spark.queries import all_queries
 
     picks = ["ex_text_css", "ex_date", "ex_items_explode", "dedup_exact",
-             "dedup_minhash_lsh", "dedup_jaccard", "dedup_simhash",
+             "dedup_minhash_lsh", "dedup_jaccard", "dedup_jaccard_capped",
+             "dedup_simhash", "dedup_simhash64", "dedup_embed",
              "txt_tokens", "txt_quality", "txt_langid", "txt_fingerprint",
-             "sim_topk", "mm_decode"]
+             "txt_bpe", "sim_topk", "sim_ann_lsh", "sim_ann_ivf",
+             "mm_decode"]
     qs = all_queries()
     out = {}
     for name in picks:
