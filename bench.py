@@ -199,9 +199,20 @@ def bench_queries(spark):
 
 
 def main():
-    # --- full-parallelism run
+    # --- headline crawl: each Spark core drives one JVM task thread AND
+    # one Python kernel worker, so the non-oversubscribed width on this
+    # machine is cores/2 (16 JVM + 16 Python = 32 runnable) — the same
+    # executor sizing rule a real cluster uses for Python-kernel-heavy
+    # stages. local[32] schedules 64 runnable threads and measures
+    # 25-40% slower on the same crawl.
+    crawl_cores = int(os.environ.get("GOSKYR_CRAWL_CORES",
+                                     str(min(CPUS, 16))))
+    spark = make_spark(crawl_cores)
+    crawl_big = bench_crawl(spark, crawl_cores, digest=True)
+    spark.stop()
+
+    # --- full-parallelism run for the query catalog
     spark = make_spark(CPUS)
-    crawl_big = bench_crawl(spark, CPUS, digest=True)
     extract_big = bench_extract(spark, CPUS)
     per_query = bench_queries(spark)
     spark.stop()
