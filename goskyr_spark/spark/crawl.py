@@ -1045,8 +1045,19 @@ class CrawlEngine:
         self.t_slabs.overwrite(
             latest.coalesce(max(1, self.n_slabs // 64 + 1)),
             {"round": last, "compacted": True})
-        for t, schema in ((self.t_frontier, FRONTIER_SCHEMA),
-                          (self.t_seen, SEEN_SCHEMA),
+        # frontier: drop rows already fetched — `pending = frontier ANTI
+        # JOIN fetched` is computed every round, so shrinking the
+        # frontier to the actual pending set makes that the dominant
+        # dequeue cost scale with the OPEN work, not crawl history
+        frontier = self.t_frontier.read(self.spark, schema=FRONTIER_SCHEMA)
+        fetched = self.t_fetched.read(self.spark, schema=FETCHED_SCHEMA)
+        pending = frontier.join(fetched.select("url_hash", "url"),
+                                on=["url_hash", "url"], how="left_anti")
+        n_p = pending.count()
+        self.t_frontier.overwrite(
+            pending.coalesce(max(1, n_p // 500_000 + 1)),
+            {"round": last, "compacted": True})
+        for t, schema in ((self.t_seen, SEEN_SCHEMA),
                           (self.t_fetched, FETCHED_SCHEMA),
                           (self.t_items, self.items_table_schema())):
             df = t.read(self.spark, schema=schema)

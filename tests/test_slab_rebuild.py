@@ -148,10 +148,16 @@ def test_compact_preserves_state_and_resume(spark, tmp_path):
                       fetch_partitions=4)
     before = _state(eng, spark)
     n_slab_rows_before = eng.t_slabs.read(spark).count()
+    n_frontier_before = eng.t_frontier.read(spark).count()
     eng.compact()
     assert _state(eng, spark) == before
     assert eng.t_slabs.read(spark).count() == 2  # latest per slab only
     assert n_slab_rows_before > 2
+    # frontier compacted to the PENDING set (everything was fetched)
+    from goskyr_spark.spark.crawl import FRONTIER_SCHEMA
+    n_frontier_after = eng.t_frontier.read(
+        spark, schema=FRONTIER_SCHEMA).count()
+    assert n_frontier_after == 0 and n_frontier_before > 0
 
     # a fresh engine over the compacted store resumes and stays done
     spec = SynthSpec(n_hosts=4, pages_per_host=3, items_per_page=4,
