@@ -195,11 +195,22 @@ class CrawlEngine:
                  n_slabs=8, slab_capacity=4096, salt_threshold=512,
                  salt_factor=4, now=None, fetch_partitions=None,
                  slab_driver_threshold=100_000, seen_mode="auto",
-                 seen_broadcast_max_bytes=64 << 20, debug=False):
+                 seen_broadcast_max_bytes=64 << 20, debug=False,
+                 live_fetcher=None):
         assert n_slabs & (n_slabs - 1) == 0, "n_slabs must be a power of two"
         self.spark = spark
         self.store = SnapshotStore(workdir)
         self.pages = pages_df
+        # live mode: pages_df=None + a zero-arg factory returning a
+        # Fetcher (e.g. lambda: StaticFetcher()). The fetch stage then
+        # performs real HTTP GETs inside the Arrow kernel — same plan,
+        # same politeness identities; the virtual clock stays the
+        # deterministic ORDER key while real sleeps pace requests
+        # (host-hash partitioning keeps a host inside one task, so
+        # per-host crawl-delay is enforceable with wall-clock sleeps).
+        self.live_fetcher = live_fetcher
+        if pages_df is None and live_fetcher is None:
+            raise ValueError("need pages_df (mock web) or live_fetcher")
         self.scraper_factory = scraper_factory
         self.seeds = sorted(set(seeds))
         self.per_host_budget = per_host_budget
@@ -766,8 +777,8 @@ class CrawlEngine:
                          .filter(F.col("count") > self.salt_threshold)
                          .collect()}
 
-        robots_df = self._robots_df()
-
+        if self.debug and self.pages is None:
+            raise ValueError("debug_pages sink requires a pages table")
         if self.debug:
             dbg = (dequeued
                    .join(self.pages.select("url", "html"), "url", "left")
@@ -777,11 +788,17 @@ class CrawlEngine:
                 dbg.coalesce(max(1, n_dequeued // 50_000 + 1)),
                 {"round": round_no})
 
-        work = (dequeued
-                .join(self.pages.select(F.col("url"),
-                                        F.col("html").alias("_html")),
-                      on="url", how="left")
-                .join(robots_df, on="host", how="left"))
+        if self.pages is not None:
+            robots_df = self._robots_df()
+            work = (dequeued
+                    .join(self.pages.select(F.col("url"),
+                                            F.col("html").alias("_html")),
+                          on="url", how="left")
+                    .join(robots_df, on="host", how="left"))
+        else:  # live mode: html + robots arrive inside the kernel
+            work = (dequeued
+                    .withColumn("_html", F.lit(None).cast("binary"))
+                    .withColumn("_robots", F.lit(None).cast("binary")))
 
         # politeness schedule: deterministic virtual clock per host —
         # computed with window functions (rank within host by priority,url)
@@ -799,6 +816,7 @@ class CrawlEngine:
 
         scraper_factory = self.scraper_factory
         user_agent = self.user_agent
+        live_factory = self.live_fetcher
         now = self.now
         proto = self._proto
         out_schema = self._crawl_schema()
@@ -809,6 +827,20 @@ class CrawlEngine:
         def fetch_extract(batches):
             scrapers = {}
             robots_cache = {}
+            fetcher = live_factory() if live_factory is not None else None
+            last_at = {}  # host -> monotonic time of last live request
+
+            def polite_get(host, u, delay):
+                # wall-clock politeness: the host lives in THIS partition
+                # (host-hash partitioning), so a local sleep enforces the
+                # crawl-delay budget exactly
+                wait = last_at.get(host, float("-inf")) + delay \
+                    - time.monotonic()
+                if wait > 0:
+                    time.sleep(wait)
+                last_at[host] = time.monotonic()
+                return fetcher.fetch(u)
+
             for batch in batches:
                 d = batch.to_pydict()
                 rows = []
@@ -821,6 +853,18 @@ class CrawlEngine:
                     host_seq = d["_host_seq"][r]
                     rb = d["_robots"][r]
                     if host not in robots_cache:
+                        if rb is None and fetcher is not None:
+                            # robots URL keeps the original NETLOC (the
+                            # host key strips ports; the request must not)
+                            sp = urlsplit(url)
+                            try:
+                                rb = polite_get(
+                                    host,
+                                    f"{sp.scheme or 'https'}://"
+                                    f"{sp.netloc}/robots.txt",
+                                    0.0).encode()
+                            except Exception:
+                                rb = b""  # unreachable robots = allow-all
                         robots_cache[host] = parse_robots(
                             rb if rb is not None else b"", user_agent)
                     rules = robots_cache[host]
@@ -832,6 +876,11 @@ class CrawlEngine:
                                                "robots", 0, 0, fcols))
                         continue
                     html = d["_html"][r]
+                    if html is None and fetcher is not None:
+                        try:
+                            html = polite_get(host, url, delay)
+                        except Exception:
+                            html = None
                     if html is None:
                         rows.append(_fetch_row(url, host, fetch_ts,
                                                "missing", 0, 0, fcols))
