@@ -73,3 +73,59 @@ def stream_extract(spark, pages_dir, scraper, out_dir, checkpoint_dir=None,
 
 def read_stream_items(spark, out_dir):
     return spark.read.parquet(os.path.join(out_dir, "items"))
+
+
+def stream_dedup_urls(spark, urls_dir, out_dir, checkpoint_dir=None,
+                      available_now=True, urls_schema=None):
+    """Streaming first-seen URL dedup — the seen-set re-expressed as a
+    Structured Streaming STATEFUL operator (applyInPandasWithState):
+    one state-store entry per url; only the first occurrence across all
+    micro-batches is emitted, and the state survives restarts via the
+    checkpoint (exactly-once first-seen). The batch crawl engine keeps
+    its slab-based seen set (cross-round anti-joins need more than
+    per-key state); this is the streaming face for a continuous
+    URL-discovery feed.
+
+    Returns the StreamingQuery; results land in <out_dir>/urls.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    if urls_schema is None:
+        urls_schema = StructType([
+            StructField("url", StringType()),
+            StructField("discovered_ts", TimestampType()),
+        ])
+    out_schema = urls_schema
+    state_schema = StructType([StructField("seen", LongType())])
+
+    def first_seen(key, pdfs, state):
+        if state.exists:
+            # url already emitted in an earlier batch (or run): drop
+            for _ in pdfs:
+                pass
+            return
+        first = None
+        for pdf in pdfs:
+            if first is None and len(pdf):
+                first = pdf.iloc[[0]][[f.name for f in out_schema.fields]]
+        state.update((1,))
+        if first is not None:
+            yield first
+
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+    stream = (spark.readStream.schema(urls_schema)
+              .option("maxFilesPerTrigger", 16)
+              .parquet(urls_dir))
+    deduped = stream.groupBy("url").applyInPandasWithState(
+        first_seen, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout)
+    writer = (deduped.writeStream.format("parquet")
+              .option("path", os.path.join(out_dir, "urls"))
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -54,3 +54,36 @@ def test_stream_extract_and_resume(spark, tmp_path):
     assert dup == 0
     # batch ids distinct across the two runs
     assert items2.select("_batch_id").distinct().count() >= 2
+
+
+def test_stream_dedup_urls_stateful(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup: state persists across a
+    query RESTART (new query, same checkpoint), so re-arriving urls are
+    suppressed exactly-once."""
+    from datetime import datetime, timezone
+
+    from goskyr_spark.spark.streaming import stream_dedup_urls
+
+    urls_dir = str(tmp_path / "urls")
+    out_dir = str(tmp_path / "out")
+    ts = datetime(2026, 3, 1, tzinfo=timezone.utc)
+
+    def write_batch(urls):
+        spark.createDataFrame([(u, ts) for u in urls],
+                              "url string, discovered_ts timestamp") \
+            .coalesce(1).write.mode("append").parquet(urls_dir)
+
+    write_batch(["https://a", "https://b", "https://c", "https://b"])
+    q = stream_dedup_urls(spark, urls_dir, out_dir)
+    q.awaitTermination(120)
+    got1 = sorted(r["url"] for r in
+                  spark.read.parquet(out_dir + "/urls").collect())
+    assert got1 == ["https://a", "https://b", "https://c"]
+
+    # restart with overlapping + new urls: only the new one comes out
+    write_batch(["https://b", "https://d", "https://a"])
+    q2 = stream_dedup_urls(spark, urls_dir, out_dir)
+    q2.awaitTermination(120)
+    got2 = sorted(r["url"] for r in
+                  spark.read.parquet(out_dir + "/urls").collect())
+    assert got2 == ["https://a", "https://b", "https://c", "https://d"]
