@@ -100,17 +100,42 @@ def cmd_crawl(args):
     from .synth import SynthSpec, event_scraper, host_name, synth_pages_df
 
     spark = get_spark(app="goskyr-crawl")
-    if args.pages:
+    factory, live_fetcher = event_scraper, None
+    seeds = []
+    if args.config:
+        # crawl a real goskyr config: its scrapers' urls are the seeds;
+        # the engine requires field-compatible scrapers (one engine per
+        # config family)
+        cfg = load_config(args.config)
+        scraper0 = cfg.scrapers[0]
+        factory = lambda host: scraper0  # noqa: E731
+        seeds = [s.url for s in cfg.scrapers if s.url]
+    if args.live:
+        from .spark.fetchers import StaticFetcher, new_fetcher
+
+        fc = (load_config(args.config).scrapers[0].fetcher
+              if args.config else None)
+        live_fetcher = ((lambda: new_fetcher(fc)) if fc
+                        else (lambda: StaticFetcher()))
+        pages = None
+        seeds = seeds or ([s.strip() for s in open(args.seeds)]
+                          if args.seeds else [])
+        if not seeds:
+            raise SystemExit("--live needs -c config urls or --seeds")
+    elif args.pages:
         pages = spark.read.parquet(args.pages)
-        seeds = [s.strip() for s in open(args.seeds)] if args.seeds else \
-            [r["url"] for r in pages.select("url").limit(10).collect()]
+        seeds = seeds or ([s.strip() for s in open(args.seeds)]
+                          if args.seeds else
+                          [r["url"] for r in
+                           pages.select("url").limit(10).collect()])
     else:
         spec = SynthSpec(n_hosts=args.hosts)
         pages = synth_pages_df(spark, spec, include_fixtures=False)
-        seeds = [f"https://{host_name(h)}/list/1"
-                 for h in range(spec.n_hosts)]
-    eng = CrawlEngine(spark, args.workdir, pages, event_scraper, seeds,
-                      now=datetime(2026, 3, 1, tzinfo=timezone.utc))
+        seeds = seeds or [f"https://{host_name(h)}/list/1"
+                          for h in range(spec.n_hosts)]
+    eng = CrawlEngine(spark, args.workdir, pages, factory, seeds,
+                      now=datetime(2026, 3, 1, tzinfo=timezone.utc),
+                      live_fetcher=live_fetcher)
     for s in eng.run(max_rounds=args.max_rounds):
         print(s)
     return 0
@@ -169,8 +194,13 @@ def main(argv=None):
     pg.add_argument("--min-occ", type=int, default=5)
     pg.set_defaults(fn=cmd_generate)
 
-    pc = sub.add_parser("crawl", help="run crawl rounds over a pages table")
+    pc = sub.add_parser("crawl", help="run crawl rounds over a pages "
+                        "table or live HTTP")
     pc.add_argument("--workdir", required=True)
+    pc.add_argument("-c", "--config", default="",
+                    help="goskyr config: scraper + seed urls")
+    pc.add_argument("--live", action="store_true",
+                    help="real HTTP fetching (no pages table)")
     pc.add_argument("--pages", default="", help="parquet pages table path")
     pc.add_argument("--seeds", default="", help="file with seed urls")
     pc.add_argument("--hosts", type=int, default=10,

@@ -127,3 +127,17 @@ def test_live_crawl_end_to_end(site, tmp_path):
     eng2.run(max_rounds=5)
     assert eng2.t_fetched.read(spark, schema=FETCHED_SCHEMA).count() == \
         n_before
+
+
+def test_cli_live_crawl(site, tmp_path, capsys):
+    """`goskyr_spark crawl --live -c config.yml` crawls a real site with
+    the config's scraper + url as seed."""
+    from goskyr_spark.cli import main
+
+    cfg_path = tmp_path / "config.yml"
+    cfg_path.write_text(CFG.replace("url: x", f'url: "{site}/list/1"'))
+    rc = main(["crawl", "--workdir", str(tmp_path / "wd"), "--live",
+               "-c", str(cfg_path), "--max-rounds", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "'n_dequeued': 1" in out  # round 0: the seed
