@@ -97,3 +97,74 @@ def test_sibling_columns_not_merged():
     assert len(items) == 6
     vals = sorted(v for k, v in items[0].items() if not k.startswith("_"))
     assert vals == ["artist 0", "venue 0"]
+
+
+def test_field_discovery_reference_goldens():
+    """Observable parity with the reference's own generate-path goldens
+    (fieldmanager_test.go:19-250 TestNewElementManagerFromHtml): same
+    candidate set — (attr, examples) groups, comment-aware text indices,
+    and sibling columns split like nth-child pseudo classes. Path syntax
+    differs (we emit :nth-of-type, the reference :nth-child) but both
+    select the same nodes."""
+    from goskyr_spark.ops.autoconfig import discover_fields
+
+    def cands(html):
+        _, cs = discover_fields(html, min_occ=1, only_varying=False)
+        return sorted((c["attr"], c["nth"] or 0, tuple(c["examples"]),
+                       c["path"][-1]) for c in cs)
+
+    # single element with text
+    got = cands('<html><body><div class="container">Hello World</div>'
+                '</body></html>')
+    assert got == [("", 0, ("Hello World",), "#text0")]
+
+    # single element with attributes
+    got = cands('<html><body><img class="image" src="image.jpg"/>'
+                '</body></html>')
+    assert got == [("src", 0, ("image.jpg",), "img.image")]
+
+    # child elements: text before/after <p> gets its node index
+    got = cands('<html><body><div class="container">child0<p>foo</p>'
+                'child2</div></body></html>')
+    assert ("", 0, ("child0",), "#text0") in got
+    assert ("", 0, ("foo",), "#text0") in got  # inside p, index 0
+    assert ("", 0, ("child2",), "#text2") in got
+    assert len(got) == 3
+
+    # multiple identical siblings -> one column per position
+    got = cands('<html><body><ul class="list"><li class="item">item1</li>'
+                '<li class="item">item2</li><li class="item">item3</li>'
+                '</ul></body></html>')
+    assert [(g[1], g[2]) for g in got] == [(1, ("item1",)),
+                                           (2, ("item2",)),
+                                           (3, ("item3",))]
+
+    # props in non-self-closing tags: href + title + text
+    got = cands('<html><body><a href="https://example.com" '
+                'title="Example Link">Click Here</a></body></html>')
+    assert [(g[0], g[2]) for g in got] == \
+        [("", ("Click Here",)), ("href", ("https://example.com",)),
+         ("title", ("Example Link",))]
+
+    # overlapping classes are DIFFERENT signatures (no merge, no split):
+    # the parent element step differs (div.box vs div.box.highlight)
+    _, cs = discover_fields(
+        '<html><body><div class="box highlight">Box 1</div>'
+        '<div class="box">Box 2</div></body></html>',
+        min_occ=1, only_varying=False)
+    got = sorted((tuple(c["examples"]), c["path"][-2]) for c in cs)
+    assert got == [(("Box 1",), "div.box.highlight"),
+                   (("Box 2",), "div.box")]
+
+    # comments COUNT in the text index (reference textIndex=1)
+    got = cands('<html><body><div><!-- This is a comment -->Visible Text'
+                '<p>Paragraph Text<!-- Another comment --></p></div>'
+                '</body></html>')
+    assert ("", 0, ("Visible Text",), "#text1") in got
+    assert ("", 0, ("Paragraph Text",), "#text0") in got
+
+    # self-closing/void siblings: the two divs stay separate columns
+    got = cands('<html><body><br/><img/><meta/><div>Text 1</div>'
+                '<input/><link/><div>Text 2</div></body></html>')
+    exs = sorted(g[2] for g in got)
+    assert exs == [("Text 1",), ("Text 2",)]
