@@ -168,3 +168,79 @@ def test_field_discovery_reference_goldens():
                 '<input/><link/><div>Text 2</div></body></html>')
     exs = sorted(g[2] for g in got)
     assert exs == [("Text 1",), ("Text 2",)]
+
+
+def test_remote_llm_labler_prompt_and_labels():
+    """G7 remote-llm labler: the reference's exact prompt contract
+    (labler.go:104-146) — label set line, field-i example lists, strict
+    JSON answer, 'other' fallback for unmapped fields."""
+    from goskyr_spark.ops.autoconfig import discover_fields
+    from goskyr_spark.ops.labler import (RemoteLLMLabler,
+                                         build_label_prompt,
+                                         parse_label_answer)
+
+    url, html = _event_page()
+    _, candidates = discover_fields(html, min_occ=5)
+    prompts = []
+
+    def stub(prompt):
+        prompts.append(prompt)
+        # answer labels for all but the last field → fallback 'other'
+        mapping = {f"field-{i}": lab for i, lab in
+                   enumerate(["title", "url", "genre"])}
+        import json
+
+        return json.dumps(mapping)
+
+    labler = RemoteLLMLabler(stub, ["title", "date", "url", "genre"],
+                             candidates=candidates)
+    scraper = infer_scraper(html, url, min_occ=5, labeler=labler)
+    names = [f.name for f in scraper.fields]
+    assert names[:3] == ["title", "url", "genre"]
+    assert names[3:] == ["other"] * (len(names) - 3)
+
+    p = prompts[0]
+    assert "The labels should always be one of the following: " \
+        "title, date, url, genre." in p
+    assert 'field-0: ["' in p and f"field-{len(candidates)-1}: [" in p
+    assert "Just return the JSON and nothing else." in p
+
+    # example caps: ≤10 examples, each ≤200 chars
+    long_cand = [{"examples": [str(i) + "x" * 300 for i in range(15)]}]
+    p2 = build_label_prompt(long_cand, ["a"])
+    line = [l for l in p2.splitlines() if l.startswith("field-0")][0]
+    assert line.count('", "') == 9  # 10 examples
+    assert all(len(e) <= 200 for e in line[len('field-0: ["'):-2]
+               .split('", "'))
+
+    # malformed answer → error; non-object → error
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        parse_label_answer("not json", 2)
+    with _p.raises(ValueError):
+        parse_label_answer('["a"]', 2)
+
+
+def test_labler_factory_types():
+    from goskyr_spark.ops.labler import new_labler
+
+    basic = new_labler({"type": "basic"})
+    assert basic(["x"], 3) == "field-3"
+
+    import numpy as np
+
+    from goskyr_spark.ops.mlfeatures import KNNClassifier, features_row
+
+    X = [features_row("20.8.2025 19:00"), features_row("21.8.2025 20:00"),
+         features_row("Concert Hall"), features_row("Blue Note")]
+    knn = KNNClassifier(k=1).fit(np.asarray(X, dtype=float),
+                                 np.array(["date", "date", "loc", "loc"]))
+    ml = new_labler({"type": "local-ml"}, knn_model=knn)
+    assert ml(["22.8.2025 21:00"], 0) == "date"
+    assert ml(["Jazz Cellar"], 1) == "loc"
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        new_labler({"type": "nope"})
