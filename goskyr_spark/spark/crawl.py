@@ -196,7 +196,7 @@ class CrawlEngine:
                  salt_factor=4, now=None, fetch_partitions=None,
                  slab_driver_threshold=100_000, seen_mode="auto",
                  seen_broadcast_max_bytes=64 << 20, debug=False,
-                 live_fetcher=None):
+                 live_fetcher=None, compact_every=None):
         assert n_slabs & (n_slabs - 1) == 0, "n_slabs must be a power of two"
         self.spark = spark
         self.store = SnapshotStore(workdir)
@@ -211,6 +211,10 @@ class CrawlEngine:
         self.live_fetcher = live_fetcher
         if pages_df is None and live_fetcher is None:
             raise ValueError("need pages_df (mock web) or live_fetcher")
+        # run() calls compact() every N completed rounds (None = never):
+        # long crawls keep the frontier at pending-size and slab/manifest
+        # growth bounded without an external maintenance job
+        self.compact_every = compact_every
         self.scraper_factory = scraper_factory
         self.seeds = sorted(set(seeds))
         self.per_host_budget = per_host_budget
@@ -1073,6 +1077,8 @@ class CrawlEngine:
             summaries.append(s)
             if s["n_dequeued"] == 0:
                 break
+            if self.compact_every and (r + 1) % self.compact_every == 0:
+                self.compact()
             r += 1
         return summaries
 

@@ -171,3 +171,13 @@ def test_compact_preserves_state_and_resume(spark, tmp_path):
                      fetch_partitions=4)
     e2.run(max_rounds=30)
     assert _state(e2, spark) == before
+
+
+def test_auto_compaction_mid_run_equivalent(spark, tmp_path):
+    """compact_every=2: compaction INSIDE the crawl loop must not change
+    any observable state vs an uncompacted run."""
+    ref = _run_engine(spark, tmp_path, "nc", n_slabs=2, slab_capacity=16,
+                      fetch_partitions=4)
+    auto = _run_engine(spark, tmp_path, "ac", n_slabs=2, slab_capacity=16,
+                       fetch_partitions=4, compact_every=2)
+    assert _state(ref, spark) == _state(auto, spark)
