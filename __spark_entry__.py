@@ -7,8 +7,8 @@
   SURVEY.md §2 plus the training-data-pipeline ops (dedup, similarity,
   text analysis, multimodal plumbing, crawl rounds).
 - ``oracle_sql()``: DuckDB-runnable ANSI SQL equivalents (same column
-  names/aliases) for every SQL-expressible query; crawl/LSH queries are
-  rows-only checks.
+  names/aliases) for EVERY query — the deterministic stateful ones
+  (crawl rounds, mock items) are gated as literal VALUES row sets.
 """
 
 from __future__ import annotations
