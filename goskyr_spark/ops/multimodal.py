@@ -76,3 +76,79 @@ def decode_metadata(payloads, id_col="doc_id"):
                                               for f in DECODE_SCHEMA.fields])
 
     return payloads.mapInPandas(run, DECODE_SCHEMA).orderBy(id_col)
+
+
+RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("out_width", LongType()),
+    StructField("out_height", LongType()),
+    StructField("n_out_bytes", LongType()),
+    StructField("resized_id", StringType()),  # content id of the output
+])
+
+FRAMES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("frame_id", StringType()),
+])
+
+
+def resize_payloads(payloads, width=64, height=36, id_col="doc_id"):
+    """'Resize' every binary payload to width×height via mapInPandas —
+    the real Arrow plumbing (batch in/out, typed schema); the pixel math
+    is the deterministic stand-in (content id re-keyed by the target
+    dims, output size = w*h/256 bytes capped at the input size), swapped
+    for PIL.Image.resize when an imaging lib exists."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            recs = []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload)
+                digest = hashlib.md5(b).hexdigest()
+                recs.append({
+                    id_col: int(did),
+                    "out_width": width,
+                    "out_height": height,
+                    "n_out_bytes": max(1, min(len(b),
+                                              (width * height) // 256)),
+                    "resized_id": hashlib.md5(
+                        f"{digest}|{width}x{height}".encode())
+                    .hexdigest()[:8],
+                })
+            yield pd.DataFrame(recs, columns=[f.name
+                                              for f in RESIZE_SCHEMA.fields])
+
+    return payloads.mapInPandas(run, RESIZE_SCHEMA).orderBy(id_col)
+
+
+def sample_frames(payloads, every_k=7, id_col="doc_id"):
+    """Frame sampling: each payload is a fake 'video' with 1 + n%24
+    frames (same arithmetic as decode_metadata); every k-th frame is
+    emitted as its own row — the FAN-OUT batch shape (one input row →
+    many output rows inside one Arrow batch) a real ffmpeg sampler
+    produces. frame_id is the deterministic stand-in for frame bytes."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            recs = []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload)
+                digest = hashlib.md5(b).hexdigest()
+                n_frames = 1 + len(b) % 24
+                for idx in range(0, n_frames, every_k):
+                    recs.append({
+                        id_col: int(did),
+                        "frame_idx": idx,
+                        "frame_id": hashlib.md5(
+                            f"{digest}#{idx}".encode()).hexdigest()[:8],
+                    })
+            yield pd.DataFrame(recs, columns=[f.name
+                                              for f in FRAMES_SCHEMA.fields])
+
+    return payloads.mapInPandas(run, FRAMES_SCHEMA) \
+        .orderBy(id_col, "frame_idx")

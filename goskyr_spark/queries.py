@@ -416,6 +416,20 @@ def q_mm_decode(spark, sf_dir):
     return decode_metadata(payload_table(documents(spark, sf_dir)))
 
 
+def q_mm_resize(spark, sf_dir):
+    from .ops.multimodal import payload_table, resize_payloads
+
+    return resize_payloads(payload_table(documents(spark, sf_dir)),
+                           width=64, height=36)
+
+
+def q_mm_frames(spark, sf_dir):
+    from .ops.multimodal import payload_table, sample_frames
+
+    return sample_frames(payload_table(documents(spark, sf_dir)),
+                         every_k=7)
+
+
 _STOP_RX = {
     "de": r"\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b",
     "en": r"\b(the|and|is|of|to|in|that|it|for|with)\b",
@@ -554,6 +568,23 @@ ORACLES_OPS = {
         FROM embeddings, q
         WHERE vec_id != 0
         ORDER BY cosine DESC, vec_id LIMIT 10""",
+    "mm_resize": """
+        SELECT doc_id, CAST(64 AS BIGINT) AS out_width,
+               CAST(36 AS BIGINT) AS out_height,
+               greatest(1, least(octet_length(encode(text)),
+                                 (64 * 36) // 256)) AS n_out_bytes,
+               substr(md5(md5(text) || '|64x36'), 1, 8) AS resized_id
+        FROM documents ORDER BY doc_id""",
+    "mm_frames": """
+        SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+               substr(md5(md5(text) || '#' || CAST(f AS VARCHAR)), 1, 8)
+                   AS frame_id
+        FROM (SELECT doc_id, text,
+                     unnest(range(0,
+                                  1 + octet_length(encode(text)) % 24,
+                                  7)) AS f
+              FROM documents)
+        ORDER BY doc_id, frame_idx""",
     "mm_decode": """
         SELECT doc_id,
                octet_length(encode(text)) AS n_bytes,
@@ -827,6 +858,8 @@ def all_queries():
         "dedup_embed": q_dedup_embed,
         "txt_bpe": q_txt_bpe,
         "mm_decode": q_mm_decode,
+        "mm_resize": q_mm_resize,
+        "mm_frames": q_mm_frames,
         "crawl_mock_items": q_crawl_mock_items,
         "crawl_round": q_crawl_round,
     }
