@@ -775,7 +775,11 @@ class CrawlEngine:
         # detection groupBy only pays for itself when a host COULD exceed
         # the threshold.
         hot_hosts = set()
-        if n_dequeued > self.salt_threshold:
+        # live mode NEVER salts: politeness is enforced with wall-clock
+        # sleeps that only work while a host lives in exactly one task
+        # (mock mode's virtual clock is partition-independent, so salting
+        # stays on there). per_host_budget still bounds hot hosts.
+        if self.live_fetcher is None and n_dequeued > self.salt_threshold:
             host_counts = dequeued.groupBy("host").count()
             hot_hosts = {r["host"] for r in host_counts
                          .filter(F.col("count") > self.salt_threshold)
