@@ -309,8 +309,8 @@ class CrawlEngine:
                            {"round": -1})
         self._update_slabs(df.select("url", "url_hash"), -1,
                            n_new=len(self.seeds))
-        self.t_rounds.append(self.spark.createDataFrame(
-            [(-1, 0, 0, 0, 0, len(self.seeds), 0.0)], ROUNDS_SCHEMA),
+        self.t_rounds.append_rows(
+            [(-1, 0, 0, 0, 0, len(self.seeds), 0.0)], ROUNDS_SCHEMA,
             {"round": -1})
 
     # ------------------------------------------------------------------ seen
@@ -765,9 +765,9 @@ class CrawlEngine:
         n_dequeued = dequeued.count()
         if n_dequeued == 0:
             dequeued.unpersist()
-            self.t_rounds.append(spark.createDataFrame(
-                [(round_no, 0, 0, 0, 0, 0, time.time() - t0)], ROUNDS_SCHEMA),
-                {"round": round_no})
+            self.t_rounds.append_rows(
+                [(round_no, 0, 0, 0, 0, 0, time.time() - t0)],
+                ROUNDS_SCHEMA, {"round": round_no})
             return {"round": round_no, "n_dequeued": 0}
 
         # skew: hot hosts get salted sub-partitions AFTER the politeness
@@ -1046,9 +1046,9 @@ class CrawlEngine:
         metrics_rows = [(round_no, int(r["_pid"]), int(r["n_fetched"]),
                          int(r["n_items"] or 0), int(r["n_errors"] or 0),
                          started, ended) for r in stats]
-        self.t_metrics.append(
-            spark.createDataFrame(metrics_rows, METRICS_SCHEMA),
-            {"round": round_no})
+        # driver-known tiny row sets: pyarrow write, no Spark job
+        self.t_metrics.append_rows(metrics_rows, METRICS_SCHEMA,
+                                   {"round": round_no})
 
         summary = {
             "round": round_no,
@@ -1059,8 +1059,8 @@ class CrawlEngine:
             "n_new_urls": n_new,
             "wall_secs": time.time() - t0,
         }
-        self.t_rounds.append(spark.createDataFrame(
-            [tuple(summary.values())], ROUNDS_SCHEMA), {"round": round_no})
+        self.t_rounds.append_rows([tuple(summary.values())],
+                                  ROUNDS_SCHEMA, {"round": round_no})
         result.unpersist()
         seq_sorted.unpersist()
         new_urls.unpersist()

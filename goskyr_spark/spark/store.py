@@ -92,6 +92,29 @@ class SnapshotTable:
         files = self._write_files(df, self.head() + 1)
         return self._commit(files, meta, "append")
 
+    def append_rows(self, rows, spark_schema, meta=None):
+        """Driver-side append of a SMALL driver-known row set (round
+        markers, per-partition metrics — a handful of rows the driver
+        already holds) as one pyarrow parquet file: no Spark job, no
+        task launch. Spark reads pyarrow's int64-microsecond timestamps
+        alongside its own files transparently."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        _ARROW = {"long": pa.int64(), "double": pa.float64(),
+                  "string": pa.string(), "binary": pa.binary(),
+                  "timestamp": pa.timestamp("us", tz="UTC")}
+        fields = [(f.name, _ARROW[f.dataType.typeName()])
+                  for f in spark_schema.fields]
+        cols = list(zip(*rows)) if rows else [[] for _ in fields]
+        table = pa.table(
+            {name: pa.array(list(col), type=typ)
+             for (name, typ), col in zip(fields, cols)})
+        snap = self.head() + 1
+        fn = f"part-{snap:06d}-{uuid.uuid4().hex}.parquet"
+        pq.write_table(table, os.path.join(self.files_dir, fn))
+        return self._commit([os.path.join("files", fn)], meta, "append")
+
     def overwrite(self, df, meta=None):
         files = self._write_files(df, self.head() + 1)
         return self._commit(files, meta, "overwrite")
