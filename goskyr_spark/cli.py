@@ -102,6 +102,13 @@ def cmd_crawl(args):
     spark = get_spark(app="goskyr-crawl")
     factory, live_fetcher = event_scraper, None
     seeds = []
+    if args.config and not (args.live or args.pages):
+        # without a page source the engine would crawl the SYNTHETIC web
+        # with the config's scraper — the seeds don't exist there, so
+        # every fetch silently reports 'missing'. Fail loudly instead.
+        raise SystemExit(
+            "crawl -c CONFIG needs a page source: --live (real HTTP) or "
+            "--pages PARQUET (offline page table)")
     if args.config:
         # crawl a real goskyr config: its scrapers' urls are the seeds;
         # the engine requires field-compatible scrapers (one engine per

@@ -81,18 +81,13 @@ def minhash_signatures(documents, text_col="text", id_col="doc_id",
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_buckets(documents, text_col="text", id_col="doc_id",
-                        num_perm=8, band_size=2, shingle_n=3):
-    """LSH banding: docs sharing a band signature are near-dup candidates.
-
-    Output one row per (band_id, band_sig) bucket with ≥2 docs — at scale
-    the candidate-pair join happens per bucket, never across the corpus."""
+def _banded(documents, text_col, id_col, num_perm, band_size, shingle_n):
+    """(id, band_id, band_sig) rows — single-pass banding: ONE select
+    emits all bands as an array of structs + explode, so the signature
+    aggregation (shingle explode + num_perm-way min) runs exactly once,
+    instead of once per band as a union of re-derived branches would."""
     sigs = minhash_signatures(documents, text_col, id_col, num_perm,
                               shingle_n)
-    # single-pass banding: ONE select emits all bands as an array of
-    # structs + posexplode — the signature aggregation (shingle explode +
-    # num_perm-way min) runs exactly once, instead of once per band as a
-    # union of re-derived branches would
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band_id"),
@@ -101,13 +96,62 @@ def minhash_lsh_buckets(documents, text_col="text", id_col="doc_id",
                                               (b + 1) * band_size)])
             .alias("band_sig"))
         for b in range(num_perm // band_size)])
-    allb = (sigs.select(F.col(id_col), F.explode(band_structs).alias("bs"))
+    return (sigs.select(F.col(id_col), F.explode(band_structs).alias("bs"))
             .select(id_col, F.col("bs.band_id").alias("band_id"),
                     F.col("bs.band_sig").alias("band_sig")))
+
+
+def minhash_lsh_buckets(documents, text_col="text", id_col="doc_id",
+                        num_perm=8, band_size=2, shingle_n=3):
+    """LSH banding: docs sharing a band signature are near-dup candidates.
+
+    Output one row per (band_id, band_sig) bucket with ≥2 docs — at scale
+    the candidate-pair join happens per bucket, never across the corpus.
+
+    Memory note: ``candidates`` is a collect_list — unbounded per key. A
+    degenerate corpus (one giant dup class) concentrates the whole class
+    in one aggregation buffer; ``minhash_lsh_buckets_capped`` is the
+    production guard (count-gated collect, NULL list above the cap)."""
+    allb = _banded(documents, text_col, id_col, num_perm, band_size,
+                   shingle_n)
     return (allb.groupBy("band_id", "band_sig")
             .agg(F.sort_array(F.collect_list(id_col)).alias("candidates"),
                  F.count("*").alias("n_docs"))
             .filter(F.col("n_docs") >= 2)
+            .orderBy("band_id", "band_sig"))
+
+
+def minhash_lsh_buckets_capped(documents, text_col="text", id_col="doc_id",
+                               num_perm=8, band_size=2, shingle_n=3,
+                               max_bucket=64):
+    """LSH banding with a bucket-size guard (the max_df analog for
+    candidate lists): buckets with more than ``max_bucket`` members
+    report (band_id, band_sig, '', n_docs) instead of materializing
+    the member list — a degenerate all-dups corpus can no longer OOM the
+    collect_list task; downstream treats '' as "dup class, handle via
+    its own partition-parallel pass". ('' not NULL so the value-hash
+    oracle gate stays NULL-free.)
+
+    Plan: count-only aggregation first (fixed-size buffers), then the
+    collect_list runs ONLY over rows whose bucket passed the cap (inner
+    join on the bucket key; AQE reuses the banded exchange)."""
+    allb = _banded(documents, text_col, id_col, num_perm, band_size,
+                   shingle_n)
+    counts = (allb.groupBy("band_id", "band_sig")
+              .agg(F.count("*").alias("n_docs"))
+              .filter(F.col("n_docs") >= 2))
+    big = (counts.filter(F.col("n_docs") > max_bucket)
+           .select("band_id", "band_sig",
+                   F.lit("").alias("candidates"),
+                   "n_docs"))
+    small_keys = (counts.filter(F.col("n_docs") <= max_bucket)
+                  .select("band_id", "band_sig"))
+    small = (allb.join(small_keys, ["band_id", "band_sig"])
+             .groupBy("band_id", "band_sig")
+             .agg(F.concat_ws(",", F.sort_array(F.collect_list(id_col)))
+                  .alias("candidates"),
+                  F.count("*").alias("n_docs")))
+    return (small.unionByName(big)
             .orderBy("band_id", "band_sig"))
 
 
@@ -128,8 +172,8 @@ def ngram_jaccard_pairs(documents, text_col="text", id_col="doc_id",
         F.col(id_col), F.explode(shingles_expr(text_col, shingle_n))
         .alias("shingle"))
     # inverted index: one groupBy(shingle) builds per-shingle posting
-    # lists; pairs are GENERATED from each list (i<j combinations as a
-    # nested-transform array expression) instead of a self-join — one
+    # lists; pairs are GENERATED from each list (i<j combinations via
+    # two pipelined explodes — see below) instead of a self-join — one
     # shuffle of the postings replaces the sort-merge join of two full
     # explode branches. AQE reuses the groupBy exchange for the sizes
     # branch. Ubiquitous shingles (posting list > max_df) leave the
@@ -149,15 +193,23 @@ def ngram_jaccard_pairs(documents, text_col="text", id_col="doc_id",
         sizes = documents.select(
             F.col(id_col),
             F.size(shingles_expr(text_col, shingle_n)).alias("n_sh"))
-    pair_arr = F.flatten(F.transform(
-        F.col("ids"),
-        lambda x, i: F.transform(
-            F.slice(F.col("ids"), i + 2,
-                    F.greatest(F.size("ids") - i - 1, F.lit(0))),
-            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
-    inter = (buckets.filter(F.size("ids") >= 2)
-             .select(F.explode(pair_arr).alias("p"))
-             .select("p.id_a", "p.id_b")
+    # pair generation is CHUNKED: posexplode the posting list first
+    # (one row per left element), then explode that row's right-side
+    # slice. Both explodes pipeline through codegen into the partial
+    # aggregation, so peak memory per task is O(|posting list|), not the
+    # O(d²) a single flattened pair array would materialize in one row —
+    # a stopword-class shingle with df in the tens of thousands streams
+    # ~10^8 pairs through the hash aggregate (spillable) instead of
+    # building billions of structs in a single row.
+    lefts = (buckets.filter(F.size("ids") >= 2)
+             .select(F.col("ids"),
+                     F.posexplode("ids").alias("i", "id_a")))
+    inter = (lefts
+             .select(F.col("id_a"),
+                     F.explode(F.slice(
+                         F.col("ids"), F.col("i") + 2,
+                         F.greatest(F.size("ids") - F.col("i") - 1,
+                                    F.lit(0)))).alias("id_b"))
              .groupBy("id_a", "id_b")
              .agg(F.count("*").alias("n_inter")))
     sa = sizes.select(F.col(id_col).alias("id_a"),

@@ -1,67 +1,280 @@
-"""Multimodal binary-column plumbing.
+"""Multimodal binary-column operators — real raster kernels.
 
 Images/audio/video are opaque ``binary`` columns plus typed metadata.
-The decode/resize/frame-sample steps are STUBS in this container (no
-imaging/audio libraries are installed) — they run a deterministic fake
-behind the same Arrow-batched ``mapInPandas`` signature, schema, and
-batch shape the real implementation would use, so the Spark-side
-plumbing (partitioning, UDF boundaries, output schema) is real and
-tested. Swap ``_fake_decode`` for a PIL/ffmpeg call to go live.
+No imaging library exists in this container (PIL/cv2/ffmpeg absent),
+but none is needed for UNCOMPRESSED raster formats: the kernels below
+parse PPM (P6) and BMP (24-bit BITMAPINFOHEADER) headers and pixel data
+with numpy, decode to an (h, w, 3) RGB array, resize with
+nearest-neighbor index math, and sample frames from a length-prefixed
+raw-video container — all inside Arrow-batched ``mapInPandas`` kernels
+(batch in, batch out; no per-row Python UDF at the API level).
+Compressed formats (JPEG/PNG/H.264) would slot behind the same
+``decode_image`` seam via PIL/ffmpeg where those libraries exist.
+
+The reference (goskyr) has no media pipeline; these are the
+training-data-pipeline extensions. Payload synthesis
+(``raster_table``/``video_table``) is deterministic from doc_id with a
+closed-form pixel formula — pix(i) = (31·doc_id + 7 + 13·frame + i)
+mod 256 over the row-major RGB index i — so the DuckDB oracle can
+recompute every decoded statistic from the formula while the Spark side
+genuinely round-trips the bytes: any encoder/decoder bug (stride
+padding, BGR order, bottom-up rows, header parse) breaks the value-hash
+gate.
+
+Scale design: payloads never shuffle — decode/resize/frame-sample are
+map-only over the binary column, so the operators parallelize per input
+partition with zero exchange, and the metadata outputs are tiny
+relative to the payload bytes they summarize.
 """
 
 from __future__ import annotations
 
-import hashlib
+import struct
+
+import numpy as np
 
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    LongType, StringType, StructField, StructType,
+    BinaryType, LongType, StringType, StructField, StructType,
 )
 
-DECODE_SCHEMA = StructType([
+# --- encoders (synthesis side; also the test oracle for the decoders) ---------
+
+
+def _pixels(seed: int, w: int, h: int) -> np.ndarray:
+    """Closed-form raster: pix[y, x, c] = (seed + (y·w + x)·3 + c) % 256."""
+    n = w * h * 3
+    return ((seed + np.arange(n, dtype=np.int64)) % 256) \
+        .astype(np.uint8).reshape(h, w, 3)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + \
+        np.ascontiguousarray(img).tobytes()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """24-bit uncompressed BMP: BITMAPFILEHEADER + BITMAPINFOHEADER,
+    bottom-up rows, BGR channel order, rows padded to 4 bytes — the
+    details a decoder must actually get right."""
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w * 3] = np.ascontiguousarray(
+        img[::-1, :, ::-1]).reshape(h, w * 3)
+    data = rows.tobytes()
+    off = 14 + 40
+    fh = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    ih = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                     2835, 2835, 0, 0)
+    return fh + ih + data
+
+
+VIDEO_MAGIC = b"RAWV"
+
+
+def encode_video(frames) -> bytes:
+    """Length-prefixed concatenation of encoded frames:
+    b'RAWV' + u32 n_frames + n × (u32 byte_len + frame bytes)."""
+    parts = [VIDEO_MAGIC, struct.pack("<I", len(frames))]
+    for fb in frames:
+        parts.append(struct.pack("<I", len(fb)))
+        parts.append(fb)
+    return b"".join(parts)
+
+
+# --- decoders ------------------------------------------------------------------
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """P6 parse: magic, width, height, maxval tokens (whitespace- and
+    #-comment-separated), single whitespace byte, then the raster."""
+    pos = 0
+
+    def token():
+        nonlocal pos
+        while pos < len(buf):
+            ch = buf[pos:pos + 1]
+            if ch == b"#":
+                nl = buf.find(b"\n", pos)
+                pos = nl + 1 if nl >= 0 else len(buf)
+            elif ch.isspace():
+                pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(buf) and not buf[pos:pos + 1].isspace():
+            pos += 1
+        return buf[start:pos]
+
+    if token() != b"P6":
+        raise ValueError("not a P6 PPM")
+    w, h, maxval = int(token()), int(token()), int(token())
+    if maxval != 255:
+        raise ValueError("only maxval=255 PPM supported")
+    pos += 1  # exactly one whitespace byte separates header and raster
+    raster = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raster.reshape(h, w, 3)
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", buf, 10)[0]
+    hsz, w, h = struct.unpack_from("<Iii", buf, 14)
+    bpp = struct.unpack_from("<H", buf, 28)[0]
+    comp = struct.unpack_from("<I", buf, 30)[0]
+    if hsz < 40 or bpp != 24 or comp != 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(buf, np.uint8, stride * h, off).reshape(h, stride)
+    img = rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return img[::-1] if bottom_up else img
+
+
+def decode_image(buf: bytes):
+    """(format, rgb array) — magic sniffing; the seam where PIL-backed
+    JPEG/PNG decoders would register."""
+    if buf[:2] == b"P6":
+        return "ppm", decode_ppm(buf)
+    if buf[:2] == b"BM":
+        return "bmp", decode_bmp(buf)
+    raise ValueError("unknown image format")
+
+
+def decode_video(buf: bytes):
+    """Yield (frame_idx, frame_bytes) from the RAWV container."""
+    if buf[:4] != VIDEO_MAGIC:
+        raise ValueError("not a RAWV container")
+    n = struct.unpack_from("<I", buf, 4)[0]
+    pos = 8
+    for idx in range(n):
+        ln = struct.unpack_from("<I", buf, pos)[0]
+        pos += 4
+        yield idx, buf[pos:pos + ln]
+        pos += ln
+
+
+def resize_nn(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize: src index = floor(dst · src/dst) — pure
+    numpy fancy indexing, up- and down-scaling alike."""
+    h, w, _ = img.shape
+    ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return img[ys][:, xs]
+
+
+def _stats(img: np.ndarray):
+    """(pixel_sum, checksum): checksum is position-weighted —
+    Σ (i+1)·v[i] mod 2³¹ over the row-major RGB flat index — so any
+    pixel TRANSPOSITION (not just value change) breaks it."""
+    flat = img.reshape(-1).astype(np.int64)
+    psum = int(flat.sum())
+    csum = int(((np.arange(flat.size, dtype=np.int64) + 1) * flat).sum()
+               % (1 << 31))
+    return psum, csum
+
+
+# --- payload synthesis (deterministic from doc_id) ------------------------------
+
+PAYLOAD_SCHEMA = StructType([
     StructField("doc_id", LongType()),
-    StructField("n_bytes", LongType()),
-    StructField("content_id", StringType()),   # md5 prefix of the payload
-    StructField("fake_width", LongType()),     # stub "decoded" metadata
-    StructField("fake_height", LongType()),
-    StructField("fake_frames", LongType()),
+    StructField("payload", BinaryType()),
 ])
 
 
-def _fake_decode(payload: bytes):
-    """Deterministic stand-in for an image/video decoder.
-
-    A real decoder is NOT available here (no PIL/ffmpeg); raise early if
-    someone flips the flag expecting real decoding."""
-    digest = hashlib.md5(payload).hexdigest()
-    n = len(payload)
-    return {
-        "n_bytes": n,
-        "content_id": digest[:8],
-        "fake_width": 160 + n % 480,
-        "fake_height": 90 + n % 270,
-        "fake_frames": 1 + n % 24,
-    }
+def _doc_dims(doc_id: int):
+    return 8 + doc_id % 9, 6 + doc_id % 7  # w ∈ 8..16, h ∈ 6..12
 
 
-def real_decode(payload: bytes):  # pragma: no cover — documented stub
-    raise NotImplementedError(
-        "image/audio decode libraries are not installed in this "
-        "environment; _fake_decode provides the deterministic stand-in")
+def _doc_seed(doc_id: int) -> int:
+    return (31 * doc_id + 7) % 256
 
 
-def payload_table(documents, text_col="text", id_col="doc_id"):
-    """Model documents as binary payloads (utf-8 bytes of text) — the
-    schema shape of a real image/audio table: (id, payload binary)."""
-    return documents.select(F.col(id_col),
-                            F.encode(F.col(text_col), "UTF-8")
-                            .alias("payload"))
+def make_image(doc_id: int) -> bytes:
+    """Even ids PPM, odd ids BMP — both code paths exercised; widths
+    8..16 include strides needing 0-3 pad bytes."""
+    w, h = _doc_dims(doc_id)
+    img = _pixels(_doc_seed(doc_id), w, h)
+    return encode_ppm(img) if doc_id % 2 == 0 else encode_bmp(img)
+
+
+def make_video(doc_id: int) -> bytes:
+    """1 + doc_id % 10 PPM frames; frame f's seed is shifted by 13·f."""
+    w, h = _doc_dims(doc_id)
+    seed = _doc_seed(doc_id)
+    n_frames = 1 + doc_id % 10
+    return encode_video([
+        encode_ppm(_pixels((seed + 13 * f) % 256, w, h))
+        for f in range(n_frames)])
+
+
+def _payload_df(documents, make, id_col):
+    import pyarrow as pa
+
+    arrow = pa.schema([pa.field("doc_id", pa.int64()),
+                       pa.field("payload", pa.binary())])
+
+    def gen(batches):
+        for b in batches:
+            ids = b.column(0).to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()),
+                 pa.array([make(i) for i in ids], pa.binary())],
+                schema=arrow)
+
+    return documents.select(F.col(id_col).alias("doc_id")) \
+        .mapInArrow(gen, PAYLOAD_SCHEMA)
+
+
+def raster_table(documents, id_col="doc_id"):
+    """(doc_id, payload): one encoded image per document. In production
+    this column comes straight off the lake; the deterministic generator
+    stands in for it (and makes the decode oracle-checkable)."""
+    return _payload_df(documents, make_image, id_col)
+
+
+def video_table(documents, id_col="doc_id"):
+    """(doc_id, payload): one RAWV multi-frame container per document."""
+    return _payload_df(documents, make_video, id_col)
+
+
+# --- operators -------------------------------------------------------------------
+
+DECODE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("format", StringType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("n_pixels", LongType()),
+    StructField("pixel_sum", LongType()),
+    StructField("checksum", LongType()),
+])
+
+RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("out_width", LongType()),
+    StructField("out_height", LongType()),
+    StructField("pixel_sum", LongType()),
+    StructField("checksum", LongType()),
+])
+
+FRAMES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("pixel_sum", LongType()),
+])
 
 
 def decode_metadata(payloads, id_col="doc_id"):
-    """Arrow-batched 'decode' over the binary column via mapInPandas —
-    the exact plumbing a real decoder uses (batch in, batch out, no
-    per-row Python UDF at the API level)."""
+    """Decode every payload and emit typed metadata + content statistics
+    computed from the DECODED pixels (not the raw bytes) — proves the
+    header parse, stride handling, channel order, and row order."""
 
     def run(batches):
         import pandas as pd
@@ -69,36 +282,22 @@ def decode_metadata(payloads, id_col="doc_id"):
         for pdf in batches:
             recs = []
             for did, payload in zip(pdf[id_col], pdf["payload"]):
-                m = _fake_decode(bytes(payload))
-                m[id_col] = int(did)
-                recs.append(m)
+                fmt, img = decode_image(bytes(payload))
+                h, w, _ = img.shape
+                psum, csum = _stats(img)
+                recs.append({id_col: int(did), "format": fmt,
+                             "width": w, "height": h, "n_pixels": w * h,
+                             "pixel_sum": psum, "checksum": csum})
             yield pd.DataFrame(recs, columns=[f.name
                                               for f in DECODE_SCHEMA.fields])
 
     return payloads.mapInPandas(run, DECODE_SCHEMA).orderBy(id_col)
 
 
-RESIZE_SCHEMA = StructType([
-    StructField("doc_id", LongType()),
-    StructField("out_width", LongType()),
-    StructField("out_height", LongType()),
-    StructField("n_out_bytes", LongType()),
-    StructField("resized_id", StringType()),  # content id of the output
-])
-
-FRAMES_SCHEMA = StructType([
-    StructField("doc_id", LongType()),
-    StructField("frame_idx", LongType()),
-    StructField("frame_id", StringType()),
-])
-
-
-def resize_payloads(payloads, width=64, height=36, id_col="doc_id"):
-    """'Resize' every binary payload to width×height via mapInPandas —
-    the real Arrow plumbing (batch in/out, typed schema); the pixel math
-    is the deterministic stand-in (content id re-keyed by the target
-    dims, output size = w*h/256 bytes capped at the input size), swapped
-    for PIL.Image.resize when an imaging lib exists."""
+def resize_payloads(payloads, width=20, height=10, id_col="doc_id"):
+    """Decode → nearest-neighbor resize to width×height → statistics of
+    the RESIZED raster (position-weighted, so wrong source-index math
+    shows up even when the pixel multiset is right)."""
 
     def run(batches):
         import pandas as pd
@@ -106,30 +305,23 @@ def resize_payloads(payloads, width=64, height=36, id_col="doc_id"):
         for pdf in batches:
             recs = []
             for did, payload in zip(pdf[id_col], pdf["payload"]):
-                b = bytes(payload)
-                digest = hashlib.md5(b).hexdigest()
-                recs.append({
-                    id_col: int(did),
-                    "out_width": width,
-                    "out_height": height,
-                    "n_out_bytes": max(1, min(len(b),
-                                              (width * height) // 256)),
-                    "resized_id": hashlib.md5(
-                        f"{digest}|{width}x{height}".encode())
-                    .hexdigest()[:8],
-                })
+                _, img = decode_image(bytes(payload))
+                out = resize_nn(img, width, height)
+                psum, csum = _stats(out)
+                recs.append({id_col: int(did), "out_width": width,
+                             "out_height": height, "pixel_sum": psum,
+                             "checksum": csum})
             yield pd.DataFrame(recs, columns=[f.name
                                               for f in RESIZE_SCHEMA.fields])
 
     return payloads.mapInPandas(run, RESIZE_SCHEMA).orderBy(id_col)
 
 
-def sample_frames(payloads, every_k=7, id_col="doc_id"):
-    """Frame sampling: each payload is a fake 'video' with 1 + n%24
-    frames (same arithmetic as decode_metadata); every k-th frame is
-    emitted as its own row — the FAN-OUT batch shape (one input row →
+def sample_frames(payloads, every_k=3, id_col="doc_id"):
+    """Frame sampling over the RAWV container: every k-th frame decoded
+    to its own output row — the FAN-OUT batch shape (one input row →
     many output rows inside one Arrow batch) a real ffmpeg sampler
-    produces. frame_id is the deterministic stand-in for frame bytes."""
+    produces."""
 
     def run(batches):
         import pandas as pd
@@ -137,16 +329,15 @@ def sample_frames(payloads, every_k=7, id_col="doc_id"):
         for pdf in batches:
             recs = []
             for did, payload in zip(pdf[id_col], pdf["payload"]):
-                b = bytes(payload)
-                digest = hashlib.md5(b).hexdigest()
-                n_frames = 1 + len(b) % 24
-                for idx in range(0, n_frames, every_k):
-                    recs.append({
-                        id_col: int(did),
-                        "frame_idx": idx,
-                        "frame_id": hashlib.md5(
-                            f"{digest}#{idx}".encode()).hexdigest()[:8],
-                    })
+                for idx, fb in decode_video(bytes(payload)):
+                    if idx % every_k:
+                        continue
+                    _, img = decode_image(fb)
+                    h, w, _ = img.shape
+                    psum, _ = _stats(img)
+                    recs.append({id_col: int(did), "frame_idx": idx,
+                                 "width": w, "height": h,
+                                 "pixel_sum": psum})
             yield pd.DataFrame(recs, columns=[f.name
                                               for f in FRAMES_SCHEMA.fields])
 

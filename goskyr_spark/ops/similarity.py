@@ -105,14 +105,28 @@ def ann_topk_ivf(embeddings, query_vec_id=0, k=10, n_centroids=4,
 
 
 def embed_near_dup_pairs(embeddings, threshold=0.3, n_planes=4,
-                         id_col="vec_id", vec_col="embedding"):
+                         id_col="vec_id", vec_col="embedding",
+                         max_bucket=None):
     """Embedding-cosine near-duplicate pairs, LSH-bucketed: candidate
     pairs only form WITHIN an SRP bucket (expected corpus/2^n_planes of
     the corpus each — never an all-pairs join), then exact cosine
     verifies. The scale story is identical to MinHash-LSH banding: the
     bucket join is the candidate generator, the dot product the
-    verifier."""
+    verifier.
+
+    ``max_bucket`` is the skew guard (the max_df analog): one skewed SRP
+    bucket — near-identical embeddings, e.g. boilerplate pages — would
+    otherwise pay d² inside the bucket join. Buckets with more than
+    max_bucket members leave the candidate universe (they ARE a dup
+    class; enumerating every pair inside one is the quadratic blow-up,
+    not new information — handle such classes by keeper-election per
+    bucket instead)."""
     buckets = srp_lsh_buckets(embeddings, n_planes, id_col, vec_col)
+    if max_bucket is not None:
+        keep = (buckets.groupBy("bucket")
+                .agg(F.count("*").alias("_n"))
+                .filter(F.col("_n") <= max_bucket).select("bucket"))
+        buckets = buckets.join(keep, "bucket")
     e = embeddings.join(buckets, id_col)
     a = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
                  "bucket")

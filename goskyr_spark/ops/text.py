@@ -53,6 +53,78 @@ def bpe_token_count(documents, text_col="text", id_col="doc_id"):
     ).orderBy(id_col)
 
 
+# Fixed BPE merges table (rank order). Self-contained, handcrafted from
+# common English letter statistics — the same role as a public
+# merges.txt (GPT-2 ships one); deterministic so the DuckDB oracle can
+# replay it. A merge whose sides never co-occur is simply a no-op, so
+# the table needs no constructibility constraint. Space is a regular
+# symbol (pretokens carry their leading space, GPT-2-style).
+BPE_MERGES = [
+    ("t", "h"), ("i", "n"), ("e", "r"), ("a", "n"), ("r", "e"),
+    ("o", "n"), ("a", "t"), ("e", "n"), ("o", "r"), ("e", "s"),
+    ("s", "t"), ("a", "r"), ("a", "l"), ("o", "u"), ("l", "e"),
+    ("i", "s"), ("i", "t"), ("th", "e"), ("in", "g"), ("e", "d"),
+    ("an", "d"), ("t", "o"), ("o", "f"), ("c", "o"), ("d", "e"),
+    ("s", "e"), ("q", "u"), ("u", "e"), ("er", "s"), ("at", "i"),
+    ("ati", "on"), ("o", "m"), ("c", "h"), ("s", "h"), ("l", "l"),
+    ("o", "o"), ("e", "e"), ("s", "s"), ("p", "a"), ("r", "o"),
+    ("l", "i"), ("m", "a"), ("u", "r"), ("c", "a"), ("e", "l"),
+    ("t", "a"), ("h", "o"), ("v", "e"), ("w", "h"), ("u", "s"),
+    (" ", "the"), (" ", "and"), (" ", "of"), (" ", "to"), (" ", "is"),
+    (" ", "in"), (" ", "it"), (" ", "on"), (" ", "at"), (" ", "or"),
+    (" ", "a"), (" ", "s"), (" ", "c"), (" ", "w"), (" ", "b"),
+    (" ", "p"), (" ", "f"), (" ", "m"), (" ", "d"), (" ", "t"),
+    (" ", "h"), (" ", "re"), (" ", "co"), (" ", "de"), (" ", "se"),
+    (" t", "h"), (" th", "e"), (" c", "h"), (" s", "t"), (" w", "h"),
+    ("1", "9"), ("2", "0"), ("0", "0"),
+]
+
+# Symbol-stream encoding for the pure-column-expression BPE encoder:
+# each symbol is wrapped in single '|' with '||' boundaries between
+# symbols ('||c1||c2||'), so merge (a,b) is the literal replacement
+# '|a||b|' → '|ab|' — non-overlapping leftmost replace == one
+# leftmost-greedy merge pass, and the shared '|' boundaries survive for
+# the neighbouring pair. chr(2) separates pretokens (never a merge
+# side, so no merge can cross a pretoken boundary).
+BPE_TOKEN_SEP = "\x02"
+
+
+def bpe_token_count_real(documents, text_col="text", id_col="doc_id",
+                         merges=None):
+    """TRUE BPE token count: pretokenize (BPE_PATTERN), then apply the
+    merges table in rank order — one leftmost-greedy pass per merge
+    (replay semantics; GPT-2's encoder loops min-rank-first instead,
+    both are merges-table BPE) — and count the remaining symbols.
+
+    Everything is a column expression: the symbol stream is built with
+    one regexp_replace, each merge is one literal ``replace``, and the
+    count is a split-size — whole-stage codegen end to end, no Python.
+    '|' and chr(2) in the input are mapped to space first (they carry
+    the stream structure), identically in the DuckDB oracle."""
+    merges = BPE_MERGES if merges is None else merges
+    t = F.lower(F.trim(F.col(text_col)))
+    t = F.replace(t, F.lit("|"), F.lit(" "))
+    t = F.replace(t, F.lit(BPE_TOKEN_SEP), F.lit(" "))
+    toks = F.regexp_extract_all(t, F.lit(BPE_PATTERN), F.lit(0))
+    # '|c|' per char ((?s): whitespace pretokens contain newlines), then
+    # '|SEP|'-joined and '|'-wrapped: '||c1||c2||SEP||d1||'
+    stream = F.concat(
+        F.lit("|"),
+        F.array_join(
+            F.transform(toks, lambda tok: F.regexp_replace(
+                tok, r"(?s)(.)", r"|$1|")),
+            f"|{BPE_TOKEN_SEP}|"),
+        F.lit("|"))
+    for a, b in merges:
+        stream = F.replace(stream, F.lit(f"|{a}||{b}|"),
+                           F.lit(f"|{a}{b}|"))
+    n_syms = F.size(F.split(stream, r"\|\|")) - 2
+    n = F.when(F.size(toks) == 0, F.lit(0)) \
+        .otherwise(n_syms - (F.size(toks) - 1))
+    return documents.select(
+        F.col(id_col), n.cast("long").alias("n_bpe_tokens")).orderBy(id_col)
+
+
 def quality_score(documents, text_col="text", id_col="doc_id"):
     """Heuristic quality features: mean word length, stopword ratio,
     punctuation density, digit density + a combined score."""

@@ -302,9 +302,18 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     from .ops.dedup import minhash_lsh_buckets
 
     return minhash_lsh_buckets(documents(spark, sf_dir)) \
-        .withColumn("candidates",
-                    __import__("pyspark.sql.functions", fromlist=["F"])
-                    .concat_ws(",", "candidates"))
+        .withColumn("candidates", F.concat_ws(",", "candidates"))
+
+
+def q_dedup_minhash_lsh_capped(spark, sf_dir):
+    """LSH banding with the bucket-size guard: buckets over max_bucket
+    members report NULL('')-candidates + count instead of materializing
+    the member list (collect_list memory bound for degenerate dup
+    classes)."""
+    from .ops.dedup import minhash_lsh_buckets_capped
+
+    return minhash_lsh_buckets_capped(documents(spark, sf_dir),
+                                      max_bucket=2)
 
 
 def q_dedup_jaccard(spark, sf_dir):
@@ -389,6 +398,16 @@ def q_dedup_embed(spark, sf_dir):
                                 n_planes=4)
 
 
+def q_dedup_embed_capped(spark, sf_dir):
+    """Embedding near-dup with the SRP bucket-size guard: buckets above
+    max_bucket members leave the candidate universe (skew guard — the
+    max_df analog for embedding dup classes)."""
+    from .ops.similarity import embed_near_dup_pairs
+
+    return embed_near_dup_pairs(embeddings(spark, sf_dir), threshold=0.3,
+                                n_planes=4, max_bucket=35)
+
+
 def q_txt_bpe(spark, sf_dir):
     from .ops.text import bpe_token_count
 
@@ -411,23 +430,28 @@ def q_sim_ann_ivf(spark, sf_dir):
 
 
 def q_mm_decode(spark, sf_dir):
-    from .ops.multimodal import decode_metadata, payload_table
+    """Real raster decode (PPM even ids / BMP odd ids) — metadata and
+    pixel statistics computed from the DECODED bytes; the oracle
+    recomputes them from the closed-form pixel formula."""
+    from .ops.multimodal import decode_metadata, raster_table
 
-    return decode_metadata(payload_table(documents(spark, sf_dir)))
+    return decode_metadata(raster_table(documents(spark, sf_dir)))
 
 
 def q_mm_resize(spark, sf_dir):
-    from .ops.multimodal import payload_table, resize_payloads
+    """Decode + nearest-neighbor resize to 20×10."""
+    from .ops.multimodal import raster_table, resize_payloads
 
-    return resize_payloads(payload_table(documents(spark, sf_dir)),
-                           width=64, height=36)
+    return resize_payloads(raster_table(documents(spark, sf_dir)),
+                           width=20, height=10)
 
 
 def q_mm_frames(spark, sf_dir):
-    from .ops.multimodal import payload_table, sample_frames
+    """RAWV container frame sampling (every 3rd frame, decoded)."""
+    from .ops.multimodal import sample_frames, video_table
 
-    return sample_frames(payload_table(documents(spark, sf_dir)),
-                         every_k=7)
+    return sample_frames(video_table(documents(spark, sf_dir)),
+                         every_k=3)
 
 
 _STOP_RX = {
@@ -505,7 +529,7 @@ ORACLES_OPS = {
           {bands_union}
         )
         SELECT band_id, band_sig,
-               array_to_string(list_sort(list(doc_id)), ',') AS candidates,
+               {candidates_expr} AS candidates,
                count(*) AS n_docs
         FROM bands GROUP BY band_id, band_sig
         HAVING count(*) >= 2
@@ -568,35 +592,68 @@ ORACLES_OPS = {
         FROM embeddings, q
         WHERE vec_id != 0
         ORDER BY cosine DESC, vec_id LIMIT 10""",
-    "mm_resize": """
-        SELECT doc_id, CAST(64 AS BIGINT) AS out_width,
-               CAST(36 AS BIGINT) AS out_height,
-               greatest(1, least(octet_length(encode(text)),
-                                 (64 * 36) // 256)) AS n_out_bytes,
-               substr(md5(md5(text) || '|64x36'), 1, 8) AS resized_id
-        FROM documents ORDER BY doc_id""",
-    "mm_frames": """
-        SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
-               substr(md5(md5(text) || '#' || CAST(f AS VARCHAR)), 1, 8)
-                   AS frame_id
-        FROM (SELECT doc_id, text,
-                     unnest(range(0,
-                                  1 + octet_length(encode(text)) % 24,
-                                  7)) AS f
-              FROM documents)
-        ORDER BY doc_id, frame_idx""",
-    "mm_decode": """
-        SELECT doc_id,
-               octet_length(encode(text)) AS n_bytes,
-               substr(md5(text), 1, 8) AS content_id,
-               160 + octet_length(encode(text)) % 480 AS fake_width,
-               90 + octet_length(encode(text)) % 270 AS fake_height,
-               1 + octet_length(encode(text)) % 24 AS fake_frames
-        FROM documents ORDER BY doc_id""",
 }
 
 
-def _minhash_oracle(num_perm=8, band_size=2):
+# --- multimodal oracles: recompute the decoded statistics from the
+# closed-form pixel formula pix(i) = (31·doc_id + 7 + 13·frame + i) % 256
+# (the Spark side round-trips real PPM/BMP bytes; any encoder/decoder
+# bug — stride padding, BGR order, bottom-up rows — breaks this gate).
+# Dims: w = 8 + doc_id%9, h = 6 + doc_id%7 (ops/multimodal.py:_doc_dims).
+
+_MM_DIMS_CTE = """p AS (
+          SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h,
+                 31 * doc_id + 7 AS s, 1 + doc_id % 10 AS nf
+          FROM documents)"""
+
+
+def _mm_sums(value_expr, n_expr):
+    """(pixel_sum, checksum) SQL over flat index i in [0, n_expr)."""
+    psum = (f"CAST(list_sum([({value_expr}) % 256 "
+            f"for i in range(0, {n_expr})]) AS BIGINT)")
+    csum = (f"CAST(list_sum([(i + 1) * (({value_expr}) % 256) "
+            f"for i in range(0, {n_expr})]) % 2147483648 AS BIGINT)")
+    return psum, csum
+
+
+_MM_DEC_PSUM, _MM_DEC_CSUM = _mm_sums("s + i", "w * h * 3")
+ORACLES_OPS["mm_decode"] = f"""
+        WITH {_MM_DIMS_CTE}
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END
+                   AS format,
+               CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               {_MM_DEC_PSUM} AS pixel_sum,
+               {_MM_DEC_CSUM} AS checksum
+        FROM p ORDER BY doc_id"""
+
+# nearest-neighbor source index for output pixel i of a 20×10×3 raster:
+# y2 = i // 60, x2 = (i % 60) // 3, c = i % 3; src = (y2·h//10)·w + x2·w//20
+_MM_RS_VAL = ("s + ((((i // 60) * h) // 10) * w "
+              "+ (((i % 60) // 3) * w) // 20) * 3 + (i % 3)")
+_MM_RS_PSUM, _MM_RS_CSUM = _mm_sums(_MM_RS_VAL, "600")
+ORACLES_OPS["mm_resize"] = f"""
+        WITH {_MM_DIMS_CTE}
+        SELECT doc_id,
+               CAST(20 AS BIGINT) AS out_width,
+               CAST(10 AS BIGINT) AS out_height,
+               {_MM_RS_PSUM} AS pixel_sum,
+               {_MM_RS_CSUM} AS checksum
+        FROM p ORDER BY doc_id"""
+
+_MM_FR_PSUM, _ = _mm_sums("s + 13 * f + i", "w * h * 3")
+ORACLES_OPS["mm_frames"] = f"""
+        WITH {_MM_DIMS_CTE}
+        SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+               CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+               {_MM_FR_PSUM} AS pixel_sum
+        FROM (SELECT doc_id, w, h, s, unnest(range(0, nf, 3)) AS f
+              FROM p)
+        ORDER BY doc_id, frame_idx"""
+
+
+def _minhash_oracle(num_perm=8, band_size=2, max_bucket=None):
     from .ops.dedup import MINHASH_A, MINHASH_B, MINHASH_P
 
     base = "(('0x' || substr(md5(shingle), 1, 12))::BIGINT)"
@@ -610,13 +667,20 @@ def _minhash_oracle(num_perm=8, band_size=2):
             for k in range(b * band_size, (b + 1) * band_size))
         bands.append(f"SELECT doc_id, {b} AS band_id, {cols} AS band_sig "
                      "FROM sig")
-    tmpl = ORACLES_OPS["dedup_minhash_lsh"]
+    cand = "array_to_string(list_sort(list(doc_id)), ',')"
+    if max_bucket is not None:
+        cand = (f"CASE WHEN count(*) <= {max_bucket} THEN {cand} "
+                "ELSE '' END")
+    tmpl = _MINHASH_ORACLE_TMPL
     return tmpl.replace("{sig_cols}", sig_cols) \
+               .replace("{candidates_expr}", cand) \
                .replace("{bands_union}", "\n          UNION ALL\n          "
                         .join(bands))
 
 
+_MINHASH_ORACLE_TMPL = ORACLES_OPS["dedup_minhash_lsh"]
 ORACLES_OPS["dedup_minhash_lsh"] = _minhash_oracle()
+ORACLES_OPS["dedup_minhash_lsh_capped"] = _minhash_oracle(max_bucket=2)
 
 
 def _simhash_oracle(nbits=16, halves=False):
@@ -748,6 +812,24 @@ ORACLES_OPS["dedup_embed"] = f"""
         WHERE {_cosine_sql('va', 'vb')} >= 0.3
         ORDER BY id_a, id_b"""
 
+ORACLES_OPS["dedup_embed_capped"] = f"""
+        WITH {_bucket_cte()},
+        keep AS (SELECT bucket FROM buckets GROUP BY bucket
+                 HAVING count(*) <= 35),
+        kb AS (SELECT b.* FROM buckets b JOIN keep USING (bucket)),
+        cand AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ea.embedding AS va, eb.embedding AS vb
+          FROM kb a JOIN kb b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id)
+        SELECT id_a, id_b, {_cosine_sql('va', 'vb')} AS cosine
+        FROM cand
+        WHERE {_cosine_sql('va', 'vb')} >= 0.3
+        ORDER BY id_a, id_b"""
+
+
 def _ivf_cte(n_centroids=4):
     """Per-vector centroid assignment: argmax cosine over the first
     n_centroids stored vectors, ties to the lowest centroid id — the
@@ -842,6 +924,7 @@ def all_queries():
         "ex_static_hide": q_ex_static_hide,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_lsh_capped": q_dedup_minhash_lsh_capped,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_capped": q_dedup_jaccard_capped,
         "dedup_simhash": q_dedup_simhash,
@@ -856,6 +939,7 @@ def all_queries():
         "sim_ivf_assign": q_sim_ivf_assign,
         "sim_ann_ivf": q_sim_ann_ivf,
         "dedup_embed": q_dedup_embed,
+        "dedup_embed_capped": q_dedup_embed_capped,
         "txt_bpe": q_txt_bpe,
         "mm_decode": q_mm_decode,
         "mm_resize": q_mm_resize,

@@ -37,6 +37,7 @@ fetch partition).
 
 from __future__ import annotations
 
+import logging
 import time
 from datetime import datetime, timezone
 from urllib.parse import urlsplit
@@ -54,9 +55,17 @@ from pyspark.sql.types import (
 from ..kernels.cuckoo import BloomFilter, CuckooFilter
 from ..kernels.filters import filter_item, initialize_filters
 from ..kernels.robots import parse_robots
+from .fetchers import FetchError
 from ..kernels.scrape import scrape_page
 from .pipeline import _field_columns, _arrow_schema, item_spark_schema
 from .store import SnapshotStore
+
+logger = logging.getLogger("goskyr_spark.crawl")
+
+# RFC 9309 §2.3.1.3-4: a robots.txt that is UNAVAILABLE (4xx) means the
+# crawler MAY access any resource (allow-all, empty rules); one that is
+# UNREACHABLE (5xx / network error) MUST be assumed complete disallow.
+ROBOTS_DISALLOW_ALL = b"User-agent: *\nDisallow: /\n"
 
 FRONTIER_SCHEMA = StructType([
     StructField("url", StringType()),
@@ -87,6 +96,13 @@ FETCHED_SCHEMA = StructType([
 SEEN_SCHEMA = StructType([
     StructField("url", StringType()),
     StructField("url_hash", LongType()),
+    StructField("round", LongType()),
+])
+
+DEBUG_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("host", StringType()),
+    StructField("html", BinaryType()),
     StructField("round", LongType()),
 ])
 
@@ -254,6 +270,23 @@ class CrawlEngine:
         # (reference fetcher.go:80-111), debug mode appends the fetched
         # pages to a debug_pages snapshot table with round lineage
         self.debug = debug
+        # live mode fetches html inside the Arrow kernel, so it is not a
+        # joinable column; when the html must outlive the fetch task
+        # (debug sink, or on_subpage stage-2 extraction at items_final)
+        # the kernel emits it as an extra output column and run_round
+        # persists it to debug_pages. on_subpage therefore implies
+        # retention in live mode — without it items_final could never
+        # join the detail-page html back.
+        self._retain_html = pages_df is None and (debug or
+                                                  self._has_subpage)
+        if pages_df is None and self._has_subpage and not debug:
+            logger.info("live crawl with on_subpage fields: retaining "
+                        "fetched html in debug_pages for stage-2 "
+                        "extraction")
+        # per-round SparkContext broadcasts (slab blobs/files); released
+        # at the end of run_round so a months-long crawl (the 10^10
+        # design point) cannot accumulate broadcast blocks
+        self._round_bcs = []
         self.t_debug = self.store.table("debug_pages")
         self.t_frontier = self.store.table("frontier")
         self.t_fetched = self.store.table("fetched")
@@ -262,6 +295,23 @@ class CrawlEngine:
         self.t_items = self.store.table("items")
         self.t_metrics = self.store.table("metrics")
         self.t_rounds = self.store.table("rounds")
+
+    def _bc(self, value):
+        """Create a round-scoped SparkContext broadcast. Handles are
+        kept and unpersisted once the round's jobs have all completed
+        (end of run_round) — otherwise a long-running crawl accumulates
+        broadcast blocks on the driver and every executor."""
+        b = self.spark.sparkContext.broadcast(value)
+        self._round_bcs.append(b)
+        return b
+
+    def _release_round_broadcasts(self):
+        for b in self._round_bcs:
+            try:
+                b.unpersist(blocking=False)
+            except Exception:  # already released / context gone
+                pass
+        self._round_bcs = []
 
     # ------------------------------------------------------------------ state
 
@@ -292,7 +342,7 @@ class CrawlEngine:
         last = self.last_complete_round()
         tables = [self.t_frontier, self.t_fetched, self.t_seen,
                   self.t_slabs, self.t_items, self.t_metrics]
-        if self.debug:
+        if self.debug or self._retain_html:
             tables.append(self.t_debug)
         for t in tables:
             self._rollback_table(t, last)
@@ -312,6 +362,7 @@ class CrawlEngine:
         self.t_rounds.append_rows(
             [(-1, 0, 0, 0, 0, len(self.seeds), 0.0)], ROUNDS_SCHEMA,
             {"round": -1})
+        self._release_round_broadcasts()
 
     # ------------------------------------------------------------------ seen
 
@@ -565,10 +616,10 @@ class CrawlEngine:
         bc_prev = None
         mem = getattr(self, "_slabs_mem", None)
         if incr_sids and mem is not None and mem[0] == self.t_slabs.head():
-            bc_prev = spark.sparkContext.broadcast(
+            bc_prev = self._bc(
                 {sid: mem[1][sid] for sid in incr_sids if sid in mem[1]})
         files = self._slab_latest_files()
-        bc_files = spark.sparkContext.broadcast(
+        bc_files = self._bc(
             {sid: files[sid] for sid in incr_sids if sid in files})
         caps = dict(build_caps)
 
@@ -668,7 +719,7 @@ class CrawlEngine:
         n_slabs = self.n_slabs
         # broadcast, not closure capture: slab blobs would otherwise be
         # pickled into every task
-        bc_slabs = self.spark.sparkContext.broadcast(self._slabs_cached())
+        bc_slabs = self._bc(self._slabs_cached())
 
         flag_schema = StructType(candidates.schema.fields +
                                  [StructField("maybe_seen", LongType())])
@@ -689,8 +740,7 @@ class CrawlEngine:
         from slab parquet (worker-cached, predicate-pushdown read) — no
         broadcast of the full filter set."""
         n_slabs = self.n_slabs
-        bc_files = self.spark.sparkContext.broadcast(
-            self._slab_latest_files())
+        bc_files = self._bc(self._slab_latest_files())
 
         flag_schema = StructType(candidates.schema.fields +
                                  [StructField("maybe_seen", LongType())])
@@ -785,9 +835,7 @@ class CrawlEngine:
                          .filter(F.col("count") > self.salt_threshold)
                          .collect()}
 
-        if self.debug and self.pages is None:
-            raise ValueError("debug_pages sink requires a pages table")
-        if self.debug:
+        if self.debug and self.pages is not None:
             dbg = (dequeued
                    .join(self.pages.select("url", "html"), "url", "left")
                    .select("url", "host", "html",
@@ -830,6 +878,7 @@ class CrawlEngine:
         out_schema = self._crawl_schema()
         arrow_out = self._crawl_arrow_schema()
         fcols = _field_columns(proto)
+        retain_html = self._retain_html
         round_base = float(round_no) * 1e6
 
         def fetch_extract(batches):
@@ -871,8 +920,17 @@ class CrawlEngine:
                                     f"{sp.scheme or 'https'}://"
                                     f"{sp.netloc}/robots.txt",
                                     0.0).encode()
+                            except FetchError as e:
+                                # RFC 9309: 4xx (unavailable) ⇒ allow-all;
+                                # 5xx (unreachable) ⇒ complete disallow —
+                                # a transient server error must not
+                                # silently disable robots for the host
+                                rb = (b"" if e.status is not None
+                                      and 400 <= e.status < 500
+                                      else ROBOTS_DISALLOW_ALL)
                             except Exception:
-                                rb = b""  # unreachable robots = allow-all
+                                # network-level failure = unreachable
+                                rb = ROBOTS_DISALLOW_ALL
                         robots_cache[host] = parse_robots(
                             rb if rb is not None else b"", user_agent)
                     rules = robots_cache[host]
@@ -925,7 +983,9 @@ class CrawlEngine:
                         rows.append(_outlink_row(url, host, pr.next_page_url,
                                                  depth, page_no + 1, fcols))
                     rows.append(_fetch_row(url, host, fetch_ts, "ok",
-                                           n_items, pr.nr_errors, fcols))
+                                           n_items, pr.nr_errors, fcols,
+                                           html=html if retain_html
+                                           else None))
                 if rows:
                     yield _crawl_batch(rows, arrow_out)
 
@@ -948,6 +1008,20 @@ class CrawlEngine:
                          *[n for n, _ in fcols],
                          F.lit(round_no).cast("long").alias("round")))
         self.t_items.append(items.coalesce(out_coalesce), {"round": round_no})
+
+        # --- commit: live-mode html retention (debug sink / on_subpage
+        # stage-2 source): kernel-fetched html is only reachable through
+        # the result rows, so persist it to debug_pages from there
+        if self._retain_html:
+            dbg = (result.filter("_kind = 'fetch'")
+                   .filter(F.col("_status") == "ok")
+                   .select(F.col("_page_url").alias("url"),
+                           F.col("_host").alias("host"),
+                           F.encode(F.col("_html_out"), "UTF-8")
+                           .alias("html"),
+                           F.lit(round_no).cast("long").alias("round")))
+            self.t_debug.append(dbg.coalesce(out_coalesce),
+                                {"round": round_no})
 
         # --- commit: fetched (+ deterministic global fetch_seq).
         # The global sequence over (fetch_ts, host, url) is computed
@@ -1064,6 +1138,7 @@ class CrawlEngine:
         result.unpersist()
         seq_sorted.unpersist()
         new_urls.unpersist()
+        self._release_round_broadcasts()
         return summary
 
     def run(self, max_rounds=100):
@@ -1157,7 +1232,16 @@ class CrawlEngine:
                                                       F.lit(0)), self._proto,
                                      now=self.now)
         raw = items.withColumn("nr_errors", F.lit(0).cast("long"))
-        raw = extract_stage2_subpages(raw, self.pages, self._proto,
+        pages = self.pages
+        if pages is None:
+            # live mode: the crawled detail-page html was retained in
+            # debug_pages (_retain_html is forced on for on_subpage
+            # configs); re-fetched pages keep the LATEST round's bytes
+            w = Window.partitionBy("url").orderBy(F.desc("round"))
+            pages = (self.t_debug.read(self.spark, schema=DEBUG_SCHEMA)
+                     .withColumn("_rn", F.row_number().over(w))
+                     .filter("_rn = 1").select("url", "html"))
+        raw = extract_stage2_subpages(raw, pages, self._proto,
                                       now=self.now)
         return finalize_items_df(raw, self._proto, now=self.now)
 
@@ -1179,6 +1263,8 @@ class CrawlEngine:
             StructField("_depth", LongType()),
             StructField("_page_no", LongType()),
         ]
+        if self._retain_html:
+            fields.append(StructField("_html_out", StringType()))
         for f in item_spark_schema(self._proto).fields:
             if f.name not in ("page_url", "item_idx", "nr_errors"):
                 fields.append(f)
@@ -1200,6 +1286,8 @@ class CrawlEngine:
             pa.field("_depth", pa.int64()),
             pa.field("_page_no", pa.int64()),
         ]
+        if self._retain_html:
+            base.append(pa.field("_html_out", pa.string()))
         for f in _arrow_schema(self._proto):
             if f.name not in ("page_url", "item_idx", "nr_errors"):
                 base.append(f)
@@ -1210,11 +1298,14 @@ def _blank_fields(fcols):
     return {name: None for name, _ in fcols}
 
 
-def _fetch_row(url, host, ts, status, n_items, n_errors, fcols):
+def _fetch_row(url, host, ts, status, n_items, n_errors, fcols, html=None):
+    # _html_out only exists in the output schema when the engine retains
+    # html (live debug / on_subpage); _crawl_batch drops unknown keys
     return {"_kind": "fetch", "_page_url": url, "_host": host,
             "_fetch_ts": ts, "_status": status, "_n_items": n_items,
             "_n_errors": n_errors, "_item_idx": None, "_outlink": None,
-            "_depth": None, "_page_no": None, **_blank_fields(fcols)}
+            "_depth": None, "_page_no": None, "_html_out": html,
+            **_blank_fields(fcols)}
 
 
 def _outlink_row(url, host, outlink, depth, page_no, fcols):

@@ -32,7 +32,14 @@ DEFAULT_INTERACTION_DELAY_MS = 500  # dynamicfetcher.go:91-93
 
 
 class FetchError(Exception):
-    pass
+    """Fetch failure. ``status`` carries the HTTP status code when the
+    failure was a non-200 response (None for network-level errors) so
+    callers can apply status-dependent policy — e.g. RFC 9309 robots
+    handling: 4xx robots.txt ⇒ allow-all, 5xx ⇒ disallow."""
+
+    def __init__(self, message, status=None):
+        super().__init__(message)
+        self.status = status
 
 
 @dataclass
@@ -79,7 +86,8 @@ class StaticFetcher:
         if resp.status_code != 200:
             # reference: fmt.Errorf("status code error: %d %s", ...)
             raise FetchError(
-                f"status code error: {resp.status_code} {resp.reason}")
+                f"status code error: {resp.status_code} {resp.reason}",
+                status=resp.status_code)
         if self.debug_dir:  # staticfetcher.go:49-51
             write_html_debug(url, resp.text, self.debug_dir)
         return resp.text
@@ -87,13 +95,15 @@ class StaticFetcher:
 
 class DynamicFetcher:
     """Browser-rendered fetch (reference: chromedp,
-    dynamicfetcher.go:29-177). No browser exists in this environment, so
-    ``fetch`` raises — but the interaction plumbing is REAL:
-    ``build_actions`` compiles a FetchOpts into the same deterministic
-    action plan the reference appends (navigate, page-load sleep, then
-    per interaction: click xN with delay / scroll+delay; unknown types
-    warned and skipped), so a Playwright/chromedp backend only has to
-    execute the plan."""
+    dynamicfetcher.go:29-177). ``build_actions`` compiles a FetchOpts
+    into the same deterministic action plan the reference appends
+    (navigate, page-load sleep, then per interaction: click xN with
+    delay / scroll+delay; unknown types warned and skipped).
+    ``fetch`` executes the plan with Playwright chromium when the
+    ``playwright`` package is importable (optional backend — absent in
+    this container, so it raises NotImplementedError here);
+    ``execute_actions`` is the backend-agnostic interpreter, driven
+    directly by tests with a fake page object."""
 
     def __init__(self, user_agent: str = "", page_load_wait_ms: int = 0):
         self.user_agent = user_agent or DEFAULT_USER_AGENT
@@ -120,11 +130,46 @@ class DynamicFetcher:
         actions.append(("outer_html",))
         return actions
 
+    @staticmethod
+    def execute_actions(page, actions) -> str:
+        """Run a compiled action plan against a Playwright-shaped page
+        object (goto / wait_for_timeout / query_selector+click /
+        evaluate / content). Split out so the plan interpreter is
+        testable without a browser."""
+        html = ""
+        for act in actions:
+            if act[0] == "navigate":
+                page.goto(act[1])
+            elif act[0] == "sleep_ms":
+                page.wait_for_timeout(act[1])
+            elif act[0] == "click_if_present":
+                # click only if the node exists (dynamicfetcher.go:103-110)
+                el = page.query_selector(act[1])
+                if el is not None:
+                    el.click()
+            elif act[0] == "scroll_bottom":
+                page.evaluate(
+                    "window.scrollTo(0, document.body.scrollHeight)")
+            elif act[0] == "outer_html":
+                html = page.content()
+        return html
+
     def fetch(self, url: str, opts: FetchOpts = None) -> str:
-        self.build_actions(url, opts)  # validate the plan either way
-        raise NotImplementedError(
-            "dynamic (browser) fetching requires a headless browser; "
-            "not available in this environment")
+        actions = self.build_actions(url, opts)  # validate the plan
+        try:
+            from playwright.sync_api import sync_playwright
+        except ImportError:
+            raise NotImplementedError(
+                "dynamic (browser) fetching requires a headless browser "
+                "(pip install playwright); not available in this "
+                "environment")
+        with sync_playwright() as p:
+            browser = p.chromium.launch(headless=True)
+            try:
+                page = browser.new_page(user_agent=self.user_agent)
+                return self.execute_actions(page, actions)
+            finally:
+                browser.close()
 
 
 class MockFetcher:

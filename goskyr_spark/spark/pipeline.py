@@ -242,22 +242,27 @@ def finalize_items_df(items_df, scraper: Scraper, now=None,
             pdf = pdf.sort_values(list(order_cols)).reset_index(drop=True)
             fields = [Field(name=n, type="date", guess_year=True)
                       for n in guess_fields]
-            items_list = []
-            for _, row in pdf.iterrows():
-                it = {}
-                for n in guess_fields:
-                    v = row[n]
-                    if pd.notna(v):
-                        it[n] = v.to_pydatetime()
-                items_list.append(it)
+            # column-wise build (no iterrows): one tolist() per guess
+            # field, then zip — the loop body is dict assembly only
+            col_vals = {n: pdf[n].tolist() for n in guess_fields}
+            items_list = [
+                {n: v.to_pydatetime()
+                 for n, v in ((n, col_vals[n][i]) for n in guess_fields)
+                 if pd.notna(v)}
+                for i in range(len(pdf))]
             guess_year(fields, items_list, now)
             for n in guess_fields:
                 pdf[n] = pd.Series(
                     [it.get(n) for it in items_list], dtype="datetime64[us, UTC]")
             return pdf
 
-        # one group per scraper: the order-dependent chain is a per-scraper
-        # total order; parallelism comes from many scrapers
+        # one group per scraper: the reference's guessYear chain is an
+        # inherently sequential scan over the scraper's items in output
+        # order (generate.go date carry-over), so the group CANNOT be
+        # split without changing results. Memory bound: one task holds
+        # all of one scraper's items — fine for crawl configs (items per
+        # config ≪ 10^7); corpora beyond that should chunk with carried
+        # (year, last-date) state. Parallelism comes from many scrapers.
         items = (items.withColumn("_scraper", F.lit(scraper.name))
                  .groupBy("_scraper").applyInPandas(
                      fix_group, schema.add("_scraper", StringType()))
