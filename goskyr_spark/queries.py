@@ -414,6 +414,15 @@ def q_txt_bpe(spark, sf_dir):
     return bpe_token_count(documents(spark, sf_dir))
 
 
+def q_txt_bpe_real(spark, sf_dir):
+    """TRUE BPE token count: pretokenizer + the fixed merges table
+    replayed in rank order (ops/text.py:BPE_MERGES). The oracle replays
+    the identical merge sequence as nested replace() calls."""
+    from .ops.text import bpe_token_count_real
+
+    return bpe_token_count_real(documents(spark, sf_dir))
+
+
 def q_sim_ivf_assign(spark, sf_dir):
     """IVF coarse quantization (centroid per vector)."""
     from .ops.similarity import ivf_assign
@@ -874,6 +883,42 @@ ORACLES_OPS["txt_bpe"] = r"""
                AS n_bpe_tokens
         FROM documents ORDER BY doc_id"""
 
+def _bpe_real_oracle():
+    """Replay the BPE merges table in DuckDB: same symbol-stream
+    encoding ('|sym|' wrapping, '||' boundaries, chr(2) between
+    pretokens), same leftmost non-overlapping replace per merge."""
+    from .ops.text import BPE_MERGES, BPE_PATTERN
+
+    pat = BPE_PATTERN.replace("'", "''")
+    stream = ("'|' || array_to_string("
+              "[regexp_replace(tok, '(?s)(.)', '|\\1|', 'g') "
+              "for tok in toks], '|' || chr(2) || '|') || '|'")
+    merged = "stream"
+    for a, b in BPE_MERGES:
+        sa = a.replace("'", "''")
+        sb = b.replace("'", "''")
+        merged = (f"replace({merged}, '|{sa}||{sb}|', "
+                  f"'|{sa}{sb}|')")
+    return f"""
+        WITH s AS (
+          SELECT doc_id,
+                 regexp_extract_all(
+                   replace(replace(lower(trim(text)), '|', ' '),
+                           chr(2), ' '),
+                   '{pat}') AS toks
+          FROM documents),
+        enc AS (
+          SELECT doc_id, toks, {stream} AS stream FROM s)
+        SELECT doc_id,
+               CAST(CASE WHEN len(toks) = 0 THEN 0
+                    ELSE len(string_split({merged}, '||')) - 2
+                         - (len(toks) - 1) END AS BIGINT) AS n_bpe_tokens
+        FROM enc ORDER BY doc_id"""
+
+
+ORACLES_OPS["txt_bpe_real"] = _bpe_real_oracle()
+
+
 # The mock page's three expected items are a FIXED row set — the
 # reference's own e2e expectation (config-mock.yaml + scraper_test
 # fixtures), also byte-parity-asserted in tests/test_mock_e2e.py. A
@@ -941,6 +986,7 @@ def all_queries():
         "dedup_embed": q_dedup_embed,
         "dedup_embed_capped": q_dedup_embed_capped,
         "txt_bpe": q_txt_bpe,
+        "txt_bpe_real": q_txt_bpe_real,
         "mm_decode": q_mm_decode,
         "mm_resize": q_mm_resize,
         "mm_frames": q_mm_frames,
