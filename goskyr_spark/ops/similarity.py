@@ -73,21 +73,9 @@ def ivf_assign(embeddings, n_centroids=4, id_col="vec_id",
     into the same broadcast + argmax-over-columns plan. At 10^10 vectors
     the table is written partitioned by `centroid`, so an ANN probe
     scans ~1/n_centroids of the corpus (partition pruning)."""
-    cents = [r[0] for r in embeddings.orderBy(id_col)
+    cents = [list(r[0]) for r in embeddings.orderBy(id_col)
              .select(vec_col).limit(n_centroids).collect()]
-    v = F.col(vec_col)
-    sims = []
-    for c in cents:
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        sims.append(_dot(v, arr) / (_norm(v) * _norm(arr)))
-    best, best_s = F.lit(0), sims[0]
-    for i in range(1, len(sims)):
-        gt = sims[i] > best_s
-        best = F.when(gt, i).otherwise(best)
-        best_s = F.when(gt, sims[i]).otherwise(best_s)
-    return (embeddings
-            .select(F.col(id_col), best.cast("long").alias("centroid"))
-            .orderBy(id_col))
+    return _assign_to(embeddings, cents, id_col, vec_col).orderBy(id_col)
 
 
 def ann_topk_ivf(embeddings, query_vec_id=0, k=10, n_centroids=4,
@@ -147,7 +135,9 @@ def ann_topk_lsh(embeddings, query_vec_id=0, k=10, n_planes=4,
     """ANN: restrict the exact cosine scan to the query's LSH bucket.
 
     At 10^10 vectors the bucket column is precomputed + partitioned-by,
-    so the scan prunes to ~corpus/2^n_planes."""
+    so the scan prunes to ~corpus/2^n_planes. A single bucket probe
+    loses recall; ``ann_topk_lsh_multi`` is the production variant (L
+    independent tables, union of buckets)."""
     buckets = srp_lsh_buckets(embeddings, n_planes, id_col, vec_col)
     with_b = embeddings.join(buckets, id_col)
     qb = with_b.filter(F.col(id_col) == query_vec_id) \
@@ -155,3 +145,141 @@ def ann_topk_lsh(embeddings, query_vec_id=0, k=10, n_planes=4,
     cand = with_b.join(F.broadcast(qb), F.col("bucket") == F.col("_qb")) \
         .drop("_qb", "bucket")
     return cosine_topk(cand, query_vec_id, k, id_col, vec_col)
+
+
+def srp_multi_buckets(embeddings, n_planes=4, n_tables=3, id_col="vec_id",
+                      vec_col="embedding"):
+    """L independent SRP tables in ONE scan: table l's planes are stored
+    vectors [l·n_planes, (l+1)·n_planes) — deterministic and
+    oracle-checkable; production swaps seeded Gaussians into the same
+    broadcast + sign-fold plan. Output: (id, bucket_0 … bucket_{L-1})."""
+    planes = [r[0] for r in embeddings.orderBy(id_col)
+              .select(vec_col).limit(n_planes * n_tables).collect()]
+    cols = [F.col(id_col)]
+    for t in range(n_tables):
+        bucket = F.lit(0)
+        for p in range(n_planes):
+            arr = F.array(*[F.lit(float(x))
+                            for x in planes[t * n_planes + p]])
+            bucket = bucket + F.when(_dot(F.col(vec_col), arr) > 0,
+                                     2 ** p).otherwise(0)
+        cols.append(bucket.cast("long").alias(f"bucket_{t}"))
+    return embeddings.select(*cols).orderBy(id_col)
+
+
+def ann_topk_lsh_multi(embeddings, query_vec_id=0, k=10, n_planes=4,
+                       n_tables=3, id_col="vec_id", vec_col="embedding"):
+    """Multi-table LSH ANN: a vector is a candidate if it shares a
+    bucket with the query in ANY of the L tables — recall rises with L
+    (each table is an independent chance to co-bucket true neighbours)
+    while the scan still prunes to ~L/2^n_planes of the corpus. All L
+    bucket tests evaluate in one pass over one scan (OR filter against
+    the broadcast query row)."""
+    mb = srp_multi_buckets(embeddings, n_planes, n_tables, id_col, vec_col)
+    with_b = embeddings.join(mb, id_col)
+    q = with_b.filter(F.col(id_col) == query_vec_id).select(
+        *[F.col(f"bucket_{t}").alias(f"_qb{t}") for t in range(n_tables)])
+    cond = F.lit(False)
+    for t in range(n_tables):
+        cond = cond | (F.col(f"bucket_{t}") == F.col(f"_qb{t}"))
+    cand = (with_b.crossJoin(F.broadcast(q)).filter(cond)
+            .select(id_col, vec_col))
+    return cosine_topk(cand, query_vec_id, k, id_col, vec_col)
+
+
+def ann_topk_ivf_probed(embeddings, query_vec_id=0, k=10, n_centroids=4,
+                        n_probe=2, id_col="vec_id", vec_col="embedding",
+                        centroids=None):
+    """Multi-probe IVF ANN: scan the n_probe cells whose centroids are
+    closest to the query (by cosine, ties → lowest centroid id), not
+    just the query's own cell — the standard recall lever (n_probe/
+    n_centroids of the corpus scanned). ``centroids`` takes trained
+    vectors from ``ivf_train``; default is the first-k seed."""
+    if centroids is None:
+        centroids = [list(r[0]) for r in embeddings.orderBy(id_col)
+                     .select(vec_col).limit(n_centroids).collect()]
+    assign = _assign_to(embeddings, centroids, id_col, vec_col)
+    with_c = embeddings.join(assign, id_col)
+    # probe-cell selection runs the SAME left-fold cosine as the oracle
+    # (a 1-row job + n_centroids-row collect — tiny by construction)
+    qv = embeddings.filter(F.col(id_col) == query_vec_id)
+    sims = []
+    for c, cent in enumerate(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in cent])
+        sims.append(
+            (_dot(F.col(vec_col), arr) /
+             (_norm(F.col(vec_col)) * _norm(arr))).alias(f"_s{c}"))
+    row = qv.select(*sims).collect()[0]
+    ranked = sorted(range(len(centroids)), key=lambda c: (-row[f"_s{c}"], c))
+    cells = ranked[:n_probe]
+    cand = with_c.filter(F.col("centroid").isin(cells)).drop("centroid")
+    return cosine_topk(cand, query_vec_id, k, id_col, vec_col)
+
+
+def _assign_to(embeddings, centroids, id_col="vec_id",
+               vec_col="embedding", out_col="centroid"):
+    """argmax-cosine assignment against an explicit centroid list
+    (broadcast as literal arrays; ties → lowest centroid id)."""
+    v = F.col(vec_col)
+    sims = []
+    for cent in centroids:
+        arr = F.array(*[F.lit(float(x)) for x in cent])
+        sims.append(_dot(v, arr) / (_norm(v) * _norm(arr)))
+    best, best_s = F.lit(0), sims[0]
+    for i in range(1, len(sims)):
+        gt = sims[i] > best_s
+        best = F.when(gt, i).otherwise(best)
+        best_s = F.when(gt, sims[i]).otherwise(best_s)
+    return embeddings.select(F.col(id_col),
+                             best.cast("long").alias(out_col))
+
+
+def quantized(embeddings, id_col="vec_id", vec_col="embedding",
+              scale=1000):
+    """Integer-quantized copy of the vectors (round(v·scale) as
+    integer-valued doubles). Sums of integers are EXACT in any
+    aggregation order, which is what makes distributed k-means
+    bit-reproducible — and lets the DuckDB oracle replay the training
+    exactly."""
+    return embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col),
+                    lambda x: F.round(x.cast("double") * scale, 0))
+        .alias("qv"))
+
+
+def ivf_train(embeddings, n_centroids=4, n_iter=2, id_col="vec_id",
+              vec_col="embedding", scale=1000):
+    """Seeded Lloyd's k-means over quantized vectors: init = first
+    n_centroids stored vectors, then n_iter rounds of (argmax-cosine
+    assign → per-dimension mean). Deterministic end to end: quantized
+    inputs make every sum exact (order-independent), ties break to the
+    lowest centroid id, empty clusters keep their previous centroid.
+
+    Returns (centroid_vectors, stats_df) where stats_df has one row per
+    (centroid, dim) with the EXACT integer sum and member count of the
+    final iteration — integers, so the oracle gate is float-risk-free.
+    Scale: each iteration is one argmax scan + one (k·dim)-group
+    aggregation; only k·dim tiny rows ever reach the driver."""
+    q = quantized(embeddings, id_col, vec_col, scale)
+    cents = [list(r[0]) for r in q.orderBy(id_col)
+             .select("qv").limit(n_centroids).collect()]
+    stats = None
+    for _ in range(n_iter):
+        assign = _assign_to(q, cents, id_col, "qv")
+        exploded = (q.join(assign, id_col)
+                    .select("centroid", F.posexplode("qv").alias("i", "v")))
+        stats = (exploded.groupBy("centroid", "i")
+                 .agg(F.sum("v").cast("long").alias("sum_v"),
+                      F.count("*").alias("n_members"))
+                 .orderBy("centroid", "i"))
+        rows = stats.collect()
+        new = {}
+        for r in rows:
+            new.setdefault(int(r["centroid"]), {})[int(r["i"])] = \
+                r["sum_v"] / r["n_members"]
+        cents = [
+            [new[c][i] for i in range(len(cents[c]))] if c in new
+            else cents[c]
+            for c in range(n_centroids)]
+    return cents, stats

@@ -438,6 +438,44 @@ def q_sim_ann_ivf(spark, sf_dir):
                         n_centroids=4)
 
 
+def q_sim_ann_lsh_multi(spark, sf_dir):
+    """Multi-table LSH ANN (3 independent plane sets, union of buckets,
+    exact verify) — the recall lever over single-probe sim_ann_lsh."""
+    from .ops.similarity import ann_topk_lsh_multi
+
+    return ann_topk_lsh_multi(embeddings(spark, sf_dir), query_vec_id=0,
+                              k=10, n_planes=4, n_tables=3)
+
+
+def q_sim_ann_ivf_probed(spark, sf_dir):
+    """Multi-probe IVF ANN (n_probe=2 nearest cells scanned)."""
+    from .ops.similarity import ann_topk_ivf_probed
+
+    return ann_topk_ivf_probed(embeddings(spark, sf_dir), query_vec_id=0,
+                               k=10, n_centroids=4, n_probe=2)
+
+
+def q_sim_ivf_train(spark, sf_dir):
+    """Seeded Lloyd's k-means (2 iterations, 4 centroids, quantized
+    inputs): final-iteration per-(centroid, dim) exact integer sums and
+    member counts — the trained-centroid table, float-risk-free."""
+    from .ops.similarity import ivf_train
+
+    _, stats = ivf_train(embeddings(spark, sf_dir), n_centroids=4,
+                         n_iter=2)
+    return stats
+
+
+def q_sim_ann_ivf_trained(spark, sf_dir):
+    """ANN over TRAINED centroids (ivf_train) with n_probe=2."""
+    from .ops.similarity import ann_topk_ivf_probed, ivf_train
+
+    emb = embeddings(spark, sf_dir)
+    cents, _ = ivf_train(emb, n_centroids=4, n_iter=2)
+    return ann_topk_ivf_probed(emb, query_vec_id=0, k=10, n_centroids=4,
+                               n_probe=2, centroids=cents)
+
+
 def q_mm_decode(spark, sf_dir):
     """Real raster decode (PPM even ids / BMP odd ids) — metadata and
     pixel statistics computed from the DECODED bytes; the oracle
@@ -785,14 +823,18 @@ def _cosine_sql(a, b):
     return f"round({num} / (sqrt({na}) * sqrt({nb})), 6)"
 
 
-def _bucket_cte(n_planes=4):
-    return f"""buckets AS (
+def _bucket_cte(n_planes=4, offset=0, name="buckets"):
+    """SRP bucket CTE; ``offset`` selects which stored vectors act as
+    planes (table l of the multi-table variant uses offset l·n_planes)."""
+    return f"""{name} AS (
           SELECT e.vec_id,
                  CAST(sum(CASE WHEN
                    {_DOT_FOLD.format(a='e.embedding', b='p.embedding')} > 0
-                   THEN CAST(1 << p.vec_id AS BIGINT) ELSE 0 END)
+                   THEN CAST(1 << (p.vec_id - {offset}) AS BIGINT)
+                   ELSE 0 END)
                    AS BIGINT) AS bucket
-          FROM embeddings e JOIN embeddings p ON p.vec_id < {n_planes}
+          FROM embeddings e JOIN embeddings p
+            ON p.vec_id >= {offset} AND p.vec_id < {offset + n_planes}
           GROUP BY e.vec_id)"""
 
 
@@ -919,6 +961,151 @@ def _bpe_real_oracle():
 ORACLES_OPS["txt_bpe_real"] = _bpe_real_oracle()
 
 
+# --- multi-table LSH ANN oracle ---------------------------------------------
+
+def _lsh_multi_oracle(n_planes=4, n_tables=3, k=10):
+    ctes = ",\n        ".join(
+        _bucket_cte(n_planes, offset=t * n_planes, name=f"b{t}")
+        for t in range(n_tables))
+    joins = "\n        ".join(
+        f"JOIN b{t} e{t} ON e{t}.vec_id = e.vec_id" for t in range(n_tables))
+    qcols = ", ".join(
+        f"(SELECT bucket FROM b{t} WHERE vec_id = 0) AS qb{t}"
+        for t in range(n_tables))
+    cond = " OR ".join(f"e{t}.bucket = q.qb{t}" for t in range(n_tables))
+    return f"""
+        WITH {ctes},
+        q AS (SELECT {qcols}),
+        qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+               {_cosine_sql('e.embedding', 'qv.v')} AS cosine
+        FROM embeddings e
+        {joins}, q, qv
+        WHERE ({cond}) AND e.vec_id != 0
+        ORDER BY cosine DESC, e.vec_id LIMIT {k}"""
+
+
+ORACLES_OPS["sim_ann_lsh_multi"] = _lsh_multi_oracle()
+
+
+# --- multi-probe IVF + trained-k-means oracles --------------------------------
+
+def _ivf_cells_sql(n_centroids=4, n_probe=2):
+    """Top-n_probe centroid ids by cosine to the query (ties → lowest
+    id), over the first-k seed centroids c0..c{k-1}."""
+    sims = "\n          UNION ALL ".join(
+        f"SELECT {c} AS centroid, "
+        f"{_cosine_sql('q.qv', f'c{c}.v')} AS s FROM q, c{c}"
+        for c in range(n_centroids))
+    return (f"sims AS ({sims}),\n        cells AS "
+            f"(SELECT centroid FROM sims ORDER BY s DESC, centroid "
+            f"LIMIT {n_probe})")
+
+
+def _ivf_probed_oracle(n_centroids=4, n_probe=2, k=10):
+    cents = ",\n        ".join(
+        f"c{c} AS (SELECT embedding AS v FROM embeddings "
+        f"WHERE vec_id = {c})" for c in range(n_centroids))
+    return f"""
+        WITH {cents},
+        {_ivf_cte(n_centroids)},
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        {_ivf_cells_sql(n_centroids, n_probe)}
+        SELECT e.vec_id,
+               {_cosine_sql('e.embedding', 'q.qv')} AS cosine
+        FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id, q
+        WHERE a.centroid IN (SELECT centroid FROM cells)
+          AND e.vec_id != 0
+        ORDER BY cosine DESC, e.vec_id LIMIT {k}"""
+
+
+ORACLES_OPS["sim_ann_ivf_probed"] = _ivf_probed_oracle()
+
+
+# --- seeded k-means (ivf_train) oracle: replay the training exactly.
+# Quantized inputs (round(v·1000)) make every sum exact, so the
+# (centroid, dim) → (sum, count) stats of the final iteration are
+# integers — no float risk in the gate; the inter-iteration centroid is
+# the same IEEE double division s/n on both engines, and every cosine is
+# the same ascending left fold, so assignments match bit-for-bit.
+
+def _kmeans_ctes(n_centroids=4, n_iter=2):
+    cos = _cosine_sql("q.qv", "c.cv")
+    parts = [f"""q AS (
+          SELECT vec_id,
+                 [round(CAST(embedding[j] AS DOUBLE) * 1000, 0)
+                  for j in range(1, len(embedding) + 1)] AS qv
+          FROM embeddings),
+        c0 AS (SELECT vec_id AS centroid, qv AS cv FROM q
+               WHERE vec_id < {n_centroids})"""]
+    for it in range(1, n_iter + 1):
+        parts.append(f"""a{it} AS (
+          SELECT vec_id, centroid FROM (
+            SELECT q.vec_id, c.centroid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {cos} DESC, c.centroid)
+                       AS rn
+            FROM q, c{it - 1} c) WHERE rn = 1)""")
+        parts.append(f"""m{it} AS (
+          SELECT centroid, i, CAST(sum(qv[i]) AS BIGINT) AS s,
+                 count(*) AS n
+          FROM (SELECT a.centroid, q.qv,
+                       unnest(range(1, len(q.qv) + 1)) AS i
+                FROM q JOIN a{it} a USING (vec_id))
+          GROUP BY centroid, i)""")
+        parts.append(f"""c{it} AS (
+          SELECT centroid, list(s / n ORDER BY i) AS cv
+          FROM m{it} GROUP BY centroid
+          UNION ALL
+          SELECT centroid, cv FROM c{it - 1}
+          WHERE centroid NOT IN (SELECT centroid FROM m{it}))""")
+    return ",\n        ".join(parts)
+
+
+def _ivf_train_oracle(n_centroids=4, n_iter=2):
+    return f"""
+        WITH {_kmeans_ctes(n_centroids, n_iter)}
+        SELECT centroid, i - 1 AS i, s AS sum_v, n AS n_members
+        FROM m{n_iter} ORDER BY centroid, i"""
+
+
+ORACLES_OPS["sim_ivf_train"] = _ivf_train_oracle()
+
+
+def _ivf_trained_ann_oracle(n_centroids=4, n_iter=2, n_probe=2, k=10):
+    """ANN over the TRAINED centroids: original vectors assigned to
+    c{n_iter} centroids (cosine is scale-invariant, so assigning
+    unquantized vectors against quantized-space centroids is exact),
+    top-n_probe cells by query-centroid cosine, exact verify."""
+    cos_assign = _cosine_sql("e.embedding", "c.cv")
+    cos_q = _cosine_sql("q.qv", "c.cv")
+    return f"""
+        WITH {_kmeans_ctes(n_centroids, n_iter)},
+        fa AS (
+          SELECT vec_id, centroid FROM (
+            SELECT e.vec_id, c.centroid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {cos_assign} DESC,
+                                               c.centroid) AS rn
+            FROM embeddings e, c{n_iter} c) WHERE rn = 1),
+        cells AS (
+          SELECT centroid FROM (
+            SELECT c.centroid, {cos_q} AS s
+            FROM (SELECT embedding AS qv FROM embeddings
+                  WHERE vec_id = 0) q, c{n_iter} c)
+          ORDER BY s DESC, centroid LIMIT {n_probe})
+        SELECT e.vec_id,
+               {_cosine_sql('e.embedding', 'qq.qv')} AS cosine
+        FROM embeddings e JOIN fa ON fa.vec_id = e.vec_id,
+             (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) qq
+        WHERE fa.centroid IN (SELECT centroid FROM cells)
+          AND e.vec_id != 0
+        ORDER BY cosine DESC, e.vec_id LIMIT {k}"""
+
+
+ORACLES_OPS["sim_ann_ivf_trained"] = _ivf_trained_ann_oracle()
+
+
 # The mock page's three expected items are a FIXED row set — the
 # reference's own e2e expectation (config-mock.yaml + scraper_test
 # fixtures), also byte-parity-asserted in tests/test_mock_e2e.py. A
@@ -983,6 +1170,10 @@ def all_queries():
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ivf_assign": q_sim_ivf_assign,
         "sim_ann_ivf": q_sim_ann_ivf,
+        "sim_ann_lsh_multi": q_sim_ann_lsh_multi,
+        "sim_ann_ivf_probed": q_sim_ann_ivf_probed,
+        "sim_ivf_train": q_sim_ivf_train,
+        "sim_ann_ivf_trained": q_sim_ann_ivf_trained,
         "dedup_embed": q_dedup_embed,
         "dedup_embed_capped": q_dedup_embed_capped,
         "txt_bpe": q_txt_bpe,

@@ -1,0 +1,133 @@
+"""ANN recall levers + seeded k-means training (round-3 verdict items
+5-6): multi-table LSH and multi-probe IVF must strictly raise recall@10
+vs their single-probe variants on the test corpus, and ivf_train must
+match a pure-Python replay of the same deterministic Lloyd's."""
+
+import math
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from goskyr_spark.spark.session import get_spark
+
+    return get_spark(app="ann-tests", master="local[4]",
+                     shuffle_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def _ids(df):
+    return {r["vec_id"] for r in df.collect()}
+
+
+def test_multi_table_lsh_raises_recall(spark, emb):
+    from goskyr_spark.ops.similarity import (ann_topk_lsh,
+                                             ann_topk_lsh_multi,
+                                             cosine_topk)
+
+    exact = _ids(cosine_topk(emb, 0, 10))
+    r1 = len(_ids(ann_topk_lsh(emb, 0, 10, n_planes=4)) & exact)
+    r3 = len(_ids(ann_topk_lsh_multi(emb, 0, 10, n_planes=4,
+                                     n_tables=3)) & exact)
+    assert r3 > r1, (r1, r3)
+    # measured on this corpus: 1/10 → 3/10; pin the floor
+    assert r3 >= 3
+
+
+def test_multi_probe_ivf_raises_recall(spark, emb):
+    from goskyr_spark.ops.similarity import (ann_topk_ivf,
+                                             ann_topk_ivf_probed,
+                                             cosine_topk)
+
+    exact = _ids(cosine_topk(emb, 0, 10))
+    r1 = len(_ids(ann_topk_ivf(emb, 0, 10, n_centroids=4)) & exact)
+    r2 = len(_ids(ann_topk_ivf_probed(emb, 0, 10, n_centroids=4,
+                                      n_probe=2)) & exact)
+    assert r2 > r1, (r1, r2)
+    assert r2 == 10  # full recall at n_probe=2 on this corpus
+
+
+def _fold_dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _cos(a, b):
+    return _fold_dot(a, b) / (math.sqrt(_fold_dot(a, a)) *
+                              math.sqrt(_fold_dot(b, b)))
+
+
+def ref_kmeans(vectors, k=4, n_iter=2, scale=1000):
+    """Pure-Python replay: same quantization, same ascending left-fold
+    cosine (bit-identical to F.aggregate / list_reduce), ties → lowest
+    centroid, empty cluster keeps its centroid."""
+    q = [[float(round(float(x) * scale)) for x in v] for v in vectors]
+    cents = [list(q[c]) for c in range(k)]
+    stats = {}
+    for _ in range(n_iter):
+        assign = []
+        for v in q:
+            best, bs = 0, _cos(v, cents[0])
+            for c in range(1, k):
+                s = _cos(v, cents[c])
+                if s > bs:
+                    best, bs = c, s
+            assign.append(best)
+        stats = {}
+        for c in range(k):
+            members = [q[i] for i, a in enumerate(assign) if a == c]
+            if not members:
+                continue
+            dims = len(members[0])
+            sums = [int(sum(m[d] for m in members)) for d in range(dims)]
+            stats[c] = (sums, len(members))
+            cents[c] = [s / len(members) for s in sums]
+    return stats
+
+
+def test_ivf_train_matches_python_replay(spark, emb):
+    from goskyr_spark.ops.similarity import ivf_train
+
+    sub = emb.filter("vec_id < 60").cache()
+    vectors = [list(r["embedding"]) for r in
+               sub.orderBy("vec_id").collect()]
+    expected = ref_kmeans(vectors, k=4, n_iter=2)
+
+    cents, stats = ivf_train(sub, n_centroids=4, n_iter=2)
+    got = {}
+    for r in stats.collect():
+        sums, n = got.setdefault(int(r["centroid"]),
+                                 ([0] * 64, int(r["n_members"])))
+        sums[int(r["i"])] = int(r["sum_v"])
+    assert set(got) == set(expected)
+    for c in expected:
+        assert got[c][1] == expected[c][1], c          # member counts
+        assert got[c][0] == expected[c][0], c          # exact dim sums
+        want_cent = [s / expected[c][1] for s in expected[c][0]]
+        assert cents[c] == want_cent, c                # trained centroid
+
+
+def test_trained_ann_uses_trained_cells(spark, emb):
+    """sim_ann_ivf_trained runs on k-means centroids and keeps full
+    recall at n_probe=2 on this corpus."""
+    from goskyr_spark.ops.similarity import (ann_topk_ivf_probed,
+                                             cosine_topk, ivf_train)
+
+    exact = _ids(cosine_topk(emb, 0, 10))
+    cents, _ = ivf_train(emb, n_centroids=4, n_iter=2)
+    got = _ids(ann_topk_ivf_probed(emb, 0, 10, n_centroids=4, n_probe=2,
+                                   centroids=cents))
+    assert len(got & exact) == 10
