@@ -102,14 +102,29 @@ def bench_crawl(spark, cores, digest=False):
         shutil.rmtree(wd, ignore_errors=True)
 
 
+def _best_of(fn, reps=2):
+    """Measurement hygiene (same protocol as bench_fetch_extract): one
+    warm-up run JITs the kernel path + fills the page cache, then the
+    fastest of ``reps`` timed runs counts — single unwarmed measurements
+    were ±40% noisy (round-2 verdict, 'what's wrong' #1)."""
+    fn()  # warm-up
+    best = None
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        wall = time.time() - t0
+        best = wall if best is None else min(best, wall)
+    return best
+
+
 def bench_extract(spark, cores):
     """Extraction-kernel throughput: full goskyr pipeline over pages
-    synthesized from the documents table (no crawl machinery)."""
+    synthesized from the documents table (no crawl machinery).
+    Warm-up + best-of-2."""
     from goskyr_spark.queries import q_ex_items_explode
 
-    t0 = time.time()
     n = q_ex_items_explode(spark, SF_DIR).count()
-    wall = time.time() - t0
+    wall = _best_of(lambda: q_ex_items_explode(spark, SF_DIR).count())
     return {"wall": wall, "rows": n,
             "rows_per_sec": n / wall if wall else 0.0}
 
@@ -180,21 +195,25 @@ def F_contains_list():
 
 
 def bench_queries(spark):
-    """Per-query wall times for the catalog's heavier operators."""
+    """Per-query wall times for the catalog's heavier operators —
+    warm-up + best-of-2 per query (see _best_of)."""
     from goskyr_spark.queries import all_queries
 
     picks = ["ex_text_css", "ex_date", "ex_items_explode", "dedup_exact",
-             "dedup_minhash_lsh", "dedup_jaccard", "dedup_jaccard_capped",
+             "dedup_minhash_lsh", "dedup_minhash_lsh_capped",
+             "dedup_jaccard", "dedup_jaccard_capped",
              "dedup_simhash", "dedup_simhash64", "dedup_embed",
+             "dedup_embed_capped",
              "txt_tokens", "txt_quality", "txt_langid", "txt_fingerprint",
-             "txt_bpe", "sim_topk", "sim_ann_lsh", "sim_ann_ivf",
-             "mm_decode"]
+             "txt_bpe", "txt_bpe_real", "sim_topk", "sim_ann_lsh",
+             "sim_ann_lsh_multi", "sim_ann_ivf", "sim_ann_ivf_probed",
+             "sim_ivf_train", "sim_ann_ivf_trained",
+             "mm_decode", "mm_resize", "mm_frames"]
     qs = all_queries()
     out = {}
     for name in picks:
-        t0 = time.time()
-        qs[name](spark, SF_DIR).count()
-        out[name] = round(time.time() - t0, 3)
+        out[name] = round(
+            _best_of(lambda: qs[name](spark, SF_DIR).count()), 3)
     return out
 
 

@@ -226,6 +226,49 @@ def ngram_jaccard_pairs(documents, text_col="text", id_col="doc_id",
             .orderBy("id_a", "id_b"))
 
 
+def dup_components(pairs, id_a="id_a", id_b="id_b", max_iter=50):
+    """Connected components over near-dup pairs → (doc_id, component)
+    with component = min doc id in the class (the keeper). This is the
+    step that turns pairwise near-dup evidence into an actionable
+    keep/drop list.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes min(own label, neighbours' labels); converges in O(component
+    diameter) rounds (dup classes are near-cliques from LSH banding, so
+    diameters are tiny in practice). Each iteration is one join + one
+    groupBy on the edge list — no driver-side graph. Deterministic:
+    labels are integer mins."""
+    edges = pairs.select(F.col(id_a).alias("src"),
+                         F.col(id_b).alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"),
+                     F.col("src").alias("dst"))).cache()
+    labels = (sym.select(F.col("src").alias("node"))
+              .distinct()
+              .withColumn("component", F.col("node"))).cache()
+    for _ in range(max_iter):
+        prop = (sym.join(labels, sym["dst"] == labels["node"])
+                .groupBy("src")
+                .agg(F.min("component").alias("nbr_min")))
+        new_labels = (labels.join(prop, labels["node"] == prop["src"],
+                                  "left")
+                      .select(F.col("node"),
+                              F.least(F.col("component"),
+                                      F.coalesce(F.col("nbr_min"),
+                                                 F.col("component")))
+                              .alias("component"))).cache()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter("n.component != o.component").count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), "component") \
+        .orderBy("doc_id")
+
+
 def _simhash_votes(documents, text_col, id_col, nbits):
     """Per-doc bit votes: bit b of md5(word) hex (nibble arithmetic),
     summed as ±1 over distinct words — all codegen'd column math."""

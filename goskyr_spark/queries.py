@@ -322,6 +322,16 @@ def q_dedup_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(documents(spark, sf_dir), threshold=0.2)
 
 
+def q_dedup_components(spark, sf_dir):
+    """Keeper election: connected components over the exact-Jaccard
+    near-dup pairs (component id = min doc id = the keeper) — the step
+    that turns pairwise dup evidence into a keep/drop list."""
+    from .ops.dedup import dup_components, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(documents(spark, sf_dir), threshold=0.2)
+    return dup_components(pairs)
+
+
 def q_dedup_simhash(spark, sf_dir):
     from .ops.dedup import simhash16
 
@@ -728,6 +738,21 @@ def _minhash_oracle(num_perm=8, band_size=2, max_bucket=None):
 _MINHASH_ORACLE_TMPL = ORACLES_OPS["dedup_minhash_lsh"]
 ORACLES_OPS["dedup_minhash_lsh"] = _minhash_oracle()
 ORACLES_OPS["dedup_minhash_lsh_capped"] = _minhash_oracle(max_bucket=2)
+
+# connected components over the jaccard pairs: transitive closure via a
+# recursive CTE (UNION dedups, so the closure terminates), component =
+# min reachable id — exactly the min-label fixpoint the Spark op
+# converges to
+ORACLES_OPS["dedup_components"] = f"""
+    WITH RECURSIVE pairs AS ({ORACLES_OPS['dedup_jaccard']}),
+    e AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    reach(n, m) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN e ON e.a = r.m)
+    SELECT n AS doc_id, min(m) AS component
+    FROM reach GROUP BY n ORDER BY doc_id"""
 
 
 def _simhash_oracle(nbits=16, halves=False):
@@ -1159,6 +1184,7 @@ def all_queries():
         "dedup_minhash_lsh_capped": q_dedup_minhash_lsh_capped,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_capped": q_dedup_jaccard_capped,
+        "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
         "txt_tokens": q_txt_tokens,

@@ -38,6 +38,7 @@ fetch partition).
 from __future__ import annotations
 
 import logging
+import os
 import time
 from datetime import datetime, timezone
 from urllib.parse import urlsplit
@@ -212,7 +213,8 @@ class CrawlEngine:
                  salt_factor=4, now=None, fetch_partitions=None,
                  slab_driver_threshold=100_000, seen_mode="auto",
                  seen_broadcast_max_bytes=64 << 20, debug=False,
-                 live_fetcher=None, compact_every=None):
+                 live_fetcher=None, compact_every=None,
+                 frontier_buckets=None):
         assert n_slabs & (n_slabs - 1) == 0, "n_slabs must be a power of two"
         self.spark = spark
         self.store = SnapshotStore(workdir)
@@ -253,6 +255,19 @@ class CrawlEngine:
         self.slab_driver_threshold = slab_driver_threshold
         self.seen_mode = seen_mode
         self.seen_broadcast_max_bytes = seen_broadcast_max_bytes
+        # frontier_buckets=N turns on host-hash-BUCKETED frontier/fetched
+        # storage (bucket = crc32(host) mod N, Iceberg bucket-transform
+        # analog): every append/compaction writes one file per bucket,
+        # and the dequeue becomes a task-local per-bucket job (each task
+        # reads ONLY its bucket's frontier+fetched files, anti-joins and
+        # ranks in memory) — the per-round Window + anti-join SHUFFLE of
+        # the full pending set disappears, which is the dominant dequeue
+        # cost at the 10^10-URL design point. A host always lives in
+        # exactly one bucket, so per-host top-k is bucket-local and the
+        # dequeued set (and crawl digest) is IDENTICAL to window mode
+        # (pytest-asserted). Size N so one bucket's pending rows fit a
+        # task (e.g. 4096 at 10^10). None = classic window dequeue.
+        self.frontier_buckets = frontier_buckets
         # one schema for all hosts: factory must produce field-compatible
         # scrapers (heterogeneous configs get engine instances per config)
         self._proto = scraper_factory("proto.invalid")
@@ -313,6 +328,106 @@ class CrawlEngine:
                 pass
         self._round_bcs = []
 
+    # ---------------------------------------------------- bucketed frontier
+
+    def _hostpart_write(self, table, df, meta, mode="append",
+                        coalesce=None):
+        """Append/overwrite a host-keyed table; with frontier_buckets
+        the write is bucketed by crc32(host) mod N (one file per bucket,
+        file→bucket map in the manifest)."""
+        if not self.frontier_buckets:
+            if coalesce:
+                df = df.coalesce(coalesce)
+            getattr(table, mode)(df, meta)
+            return
+        n_b = self.frontier_buckets
+        parts = max(1, min(n_b, self.fetch_partitions))
+        bdf = df.withColumn(
+            "_bucket", F.pmod(F.crc32(F.col("host")), F.lit(n_b))) \
+            .repartition(parts, "_bucket")
+        getattr(table, mode)(bdf, meta, partition_by="_bucket")
+
+    def _buckets_complete(self):
+        """True when EVERY live frontier/fetched file has a bucket
+        assignment — resuming a workdir written without bucketing (or
+        mid-migration) falls back to the window dequeue for
+        correctness."""
+        for t in (self.t_frontier, self.t_fetched):
+            files = set(t.manifest()["files"])
+            if files - set(t.bucket_map()):
+                return False
+        return True
+
+    def _dequeue_bucketed(self):
+        """Shuffle-free dequeue: one task per host-hash bucket reads its
+        own frontier + fetched files (pyarrow, task-local — the slab
+        access pattern), anti-joins, ranks per host, and caps at the
+        round budget; the only exchange is the final global
+        TakeOrdered merge over ≤ n_buckets × round_budget survivors.
+        Produces the identical row set as the window dequeue (a host is
+        entirely inside one bucket)."""
+        fmap = self.t_frontier.bucket_map()
+        gmap = self.t_fetched.bucket_map()
+        fdir, gdir = self.t_frontier.dir, self.t_fetched.dir
+        by_bucket = {}
+        for rel, b in fmap.items():
+            by_bucket.setdefault(b, ([], []))[0].append(
+                os.path.join(fdir, rel))
+        for rel, b in gmap.items():
+            by_bucket.setdefault(b, ([], []))[1].append(
+                os.path.join(gdir, rel))
+        buckets = sorted(b for b, (ff, _) in by_bucket.items() if ff)
+        if not buckets:
+            return self.spark.createDataFrame([], FRONTIER_SCHEMA)
+        bc = self._bc(by_bucket)
+        per_host, budget = self.per_host_budget, self.round_budget
+        cols = [f.name for f in FRONTIER_SCHEMA.fields]
+        arrow_schema = pa.schema([
+            pa.field("url", pa.string()),
+            pa.field("url_hash", pa.int64()),
+            pa.field("host", pa.string()),
+            pa.field("priority", pa.float64()),
+            pa.field("depth", pa.int64()),
+            pa.field("discovered_round", pa.int64()),
+            pa.field("page_no", pa.int64()),
+        ])
+
+        def kernel(batches):
+            import pyarrow.parquet as pq
+
+            for batch in batches:
+                for b in batch.column(0).to_pylist():
+                    f_files, g_files = bc.value[b]
+                    # files from different rounds disagree on nullable
+                    # flags — cast to the uniform schema before concat
+                    fr = pa.concat_tables(
+                        [pq.read_table(p, columns=cols).cast(arrow_schema)
+                         for p in f_files])
+                    pdf = fr.to_pandas()
+                    if g_files:
+                        fetched = set()
+                        for p in g_files:
+                            fetched.update(
+                                pq.read_table(p, columns=["url"])
+                                .column(0).to_pylist())
+                        if fetched:
+                            pdf = pdf[~pdf["url"].isin(fetched)]
+                    if pdf.empty:
+                        continue
+                    pdf = pdf.sort_values(["priority", "url"])
+                    pdf = pdf.groupby("host", sort=False).head(per_host)
+                    pdf = pdf.head(budget)
+                    yield pa.RecordBatch.from_pandas(
+                        pdf[cols], schema=arrow_schema,
+                        preserve_index=False)
+
+        spec = self.spark.createDataFrame([(b,) for b in buckets],
+                                          "bucket long")
+        n_parts = max(1, min(len(buckets), self.fetch_partitions))
+        work = (spec.repartition(n_parts, "bucket")
+                .mapInArrow(kernel, FRONTIER_SCHEMA))
+        return work.orderBy("priority", "url").limit(self.round_budget)
+
     # ------------------------------------------------------------------ state
 
     def last_complete_round(self) -> int:
@@ -353,7 +468,7 @@ class CrawlEngine:
         rows = [(u, None, url_host(u), 0.0, 0, -1, 1) for u in self.seeds]
         df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA) \
             .withColumn("url_hash", F.xxhash64("url"))
-        self.t_frontier.append(df, {"round": -1})
+        self._hostpart_write(self.t_frontier, df, {"round": -1})
         self.t_seen.append(df.select("url", "url_hash",
                                      F.lit(-1).cast("long").alias("round")),
                            {"round": -1})
@@ -796,20 +911,23 @@ class CrawlEngine:
     def run_round(self, round_no: int):
         t0 = time.time()
         spark = self.spark
-        frontier = self.t_frontier.read(spark, schema=FRONTIER_SCHEMA)
-        fetched = self.t_fetched.read(spark, schema=FETCHED_SCHEMA)
+        if self.frontier_buckets and self._buckets_complete():
+            dequeued = self._dequeue_bucketed()
+        else:
+            frontier = self.t_frontier.read(spark, schema=FRONTIER_SCHEMA)
+            fetched = self.t_fetched.read(spark, schema=FETCHED_SCHEMA)
 
-        pending = frontier.join(fetched.select("url_hash", "url"),
-                                on=["url_hash", "url"], how="left_anti")
+            pending = frontier.join(fetched.select("url_hash", "url"),
+                                    on=["url_hash", "url"], how="left_anti")
 
-        # per-host top-k dequeue, then global budget — all explicit sorts
-        w = Window.partitionBy("host").orderBy("priority", "url")
-        dequeued = (pending
-                    .withColumn("_rank", F.row_number().over(w))
-                    .filter(F.col("_rank") <= self.per_host_budget)
-                    .drop("_rank")
-                    .orderBy("priority", "url")
-                    .limit(self.round_budget))
+            # per-host top-k dequeue, then global budget — explicit sorts
+            w = Window.partitionBy("host").orderBy("priority", "url")
+            dequeued = (pending
+                        .withColumn("_rank", F.row_number().over(w))
+                        .filter(F.col("_rank") <= self.per_host_budget)
+                        .drop("_rank")
+                        .orderBy("priority", "url")
+                        .limit(self.round_budget))
 
         dequeued = dequeued.cache()
         n_dequeued = dequeued.count()
@@ -1077,8 +1195,8 @@ class CrawlEngine:
                                   .cast("long"))
                       .select(*[f.name for f in FETCHED_SCHEMA.fields]))
         # single consumer (the append) — reads the seq_sorted cache
-        self.t_fetched.append(fetch_rows.coalesce(out_coalesce),
-                              {"round": round_no})
+        self._hostpart_write(self.t_fetched, fetch_rows,
+                             {"round": round_no}, coalesce=out_coalesce)
         dequeued.unpersist()
 
         # --- outlinks → seen-set → new frontier rows
@@ -1101,8 +1219,9 @@ class CrawlEngine:
         n_new = new_urls.count()
         new_coalesce = max(1, min(self.n_slabs, n_new // 50_000 + 1))
         if n_new:
-            self.t_frontier.append(new_urls.coalesce(new_coalesce),
-                                   {"round": round_no})
+            self._hostpart_write(self.t_frontier, new_urls,
+                                 {"round": round_no},
+                                 coalesce=new_coalesce)
             self.t_seen.append(
                 new_urls.select("url", "url_hash",
                                 F.lit(round_no).cast("long").alias("round"))
@@ -1188,11 +1307,19 @@ class CrawlEngine:
         pending = frontier.join(fetched.select("url_hash", "url"),
                                 on=["url_hash", "url"], how="left_anti")
         n_p = pending.count()
-        self.t_frontier.overwrite(
-            pending.coalesce(max(1, n_p // 500_000 + 1)),
-            {"round": last, "compacted": True})
+        # frontier/fetched keep their host-hash bucketing through
+        # compaction (one file per bucket) so the bucketed dequeue's
+        # file→bucket map stays valid
+        self._hostpart_write(self.t_frontier, pending,
+                             {"round": last, "compacted": True},
+                             mode="overwrite",
+                             coalesce=max(1, n_p // 500_000 + 1))
+        n_f = fetched.count()
+        self._hostpart_write(self.t_fetched, fetched,
+                             {"round": last, "compacted": True},
+                             mode="overwrite",
+                             coalesce=max(1, n_f // 500_000 + 1))
         for t, schema in ((self.t_seen, SEEN_SCHEMA),
-                          (self.t_fetched, FETCHED_SCHEMA),
                           (self.t_items, self.items_table_schema())):
             df = t.read(self.spark, schema=schema)
             n = df.count()

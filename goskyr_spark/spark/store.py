@@ -73,24 +73,63 @@ class SnapshotTable:
 
     # --- data -------------------------------------------------------------------
 
-    def _write_files(self, df, snap_hint):
+    def _write_files(self, df, snap_hint, partition_by=None):
+        """Write df's files into the table. With ``partition_by`` the
+        write is hash-bucketed Iceberg-style: one directory per bucket
+        value (the partition column itself is NOT stored in the files),
+        each file belongs to exactly one bucket, and the file→bucket map
+        is returned so readers can open a single bucket's files directly
+        (the same task-local file-access pattern the seen-set slabs
+        use). Returns (files, file_buckets|None)."""
         tmp = tempfile.mkdtemp(prefix="snapw-", dir=self.dir)
         try:
-            df.write.mode("overwrite").parquet(os.path.join(tmp, "d"))
-            out = []
-            for fn in sorted(os.listdir(os.path.join(tmp, "d"))):
-                if fn.endswith(".parquet"):
-                    dst = f"part-{snap_hint:06d}-{uuid.uuid4().hex}.parquet"
-                    shutil.move(os.path.join(tmp, "d", fn),
-                                os.path.join(self.files_dir, dst))
-                    out.append(os.path.join("files", dst))
-            return out
+            d = os.path.join(tmp, "d")
+            out, buckets = [], {}
+            if partition_by is None:
+                df.write.mode("overwrite").parquet(d)
+                for fn in sorted(os.listdir(d)):
+                    if fn.endswith(".parquet"):
+                        dst = (f"part-{snap_hint:06d}-"
+                               f"{uuid.uuid4().hex}.parquet")
+                        shutil.move(os.path.join(d, fn),
+                                    os.path.join(self.files_dir, dst))
+                        out.append(os.path.join("files", dst))
+                return out, None
+            df.write.mode("overwrite").partitionBy(partition_by).parquet(d)
+            for dirn in sorted(os.listdir(d)):
+                if not dirn.startswith(partition_by + "="):
+                    continue
+                val = int(dirn.split("=", 1)[1])
+                for fn in sorted(os.listdir(os.path.join(d, dirn))):
+                    if fn.endswith(".parquet"):
+                        dst = (f"part-{snap_hint:06d}-b{val:05d}-"
+                               f"{uuid.uuid4().hex}.parquet")
+                        shutil.move(os.path.join(d, dirn, fn),
+                                    os.path.join(self.files_dir, dst))
+                        rel = os.path.join("files", dst)
+                        out.append(rel)
+                        buckets[rel] = val
+            return out, buckets
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
-    def append(self, df, meta=None):
-        files = self._write_files(df, self.head() + 1)
+    def append(self, df, meta=None, partition_by=None):
+        files, buckets = self._write_files(df, self.head() + 1,
+                                           partition_by)
+        if buckets is not None:
+            meta = dict(meta or {}, file_buckets=buckets)
         return self._commit(files, meta, "append")
+
+    def bucket_map(self):
+        """{relative file path → bucket} for the CURRENT snapshot's
+        files, merged across the manifest chain (append-only commits
+        carry only their own new files' buckets; rollback/compaction
+        keep the chain intact, so every live file resolves)."""
+        merged = {}
+        for m in self.snapshots():
+            merged.update(m["meta"].get("file_buckets") or {})
+        live = set(self.manifest()["files"])
+        return {f: b for f, b in merged.items() if f in live}
 
     def append_rows(self, rows, spark_schema, meta=None):
         """Driver-side append of a SMALL driver-known row set (round
@@ -115,8 +154,11 @@ class SnapshotTable:
         pq.write_table(table, os.path.join(self.files_dir, fn))
         return self._commit([os.path.join("files", fn)], meta, "append")
 
-    def overwrite(self, df, meta=None):
-        files = self._write_files(df, self.head() + 1)
+    def overwrite(self, df, meta=None, partition_by=None):
+        files, buckets = self._write_files(df, self.head() + 1,
+                                           partition_by)
+        if buckets is not None:
+            meta = dict(meta or {}, file_buckets=buckets)
         return self._commit(files, meta, "overwrite")
 
     def commit_meta(self, meta):

@@ -342,6 +342,24 @@ def test_minhash_capped_degenerate_corpus(spark):
                for r in small)
 
 
+def test_dup_components_chain_and_islands(spark):
+    """Min-label propagation: a 4-node chain collapses to one component
+    (needs >1 iteration), disjoint pairs stay separate, nodes without
+    edges don't appear."""
+    from goskyr_spark.ops.dedup import dup_components
+
+    pairs = spark.createDataFrame(
+        [(3, 7), (7, 9), (9, 11),        # chain 3-7-9-11
+         (20, 21),                        # island pair
+         (30, 32), (31, 32)],             # star onto 32
+        ["id_a", "id_b"])
+    got = {r["doc_id"]: r["component"]
+           for r in dup_components(pairs).collect()}
+    assert got == {3: 3, 7: 3, 9: 3, 11: 3,
+                   20: 20, 21: 20,
+                   30: 30, 31: 30, 32: 30}
+
+
 def test_embed_capped_bounded_pairs(spark):
     """A skewed SRP bucket (near-identical embeddings) leaves the
     candidate universe under max_bucket — pair count stays bounded."""
