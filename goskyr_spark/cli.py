@@ -142,7 +142,8 @@ def cmd_crawl(args):
                           for h in range(spec.n_hosts)]
     eng = CrawlEngine(spark, args.workdir, pages, factory, seeds,
                       now=datetime(2026, 3, 1, tzinfo=timezone.utc),
-                      live_fetcher=live_fetcher)
+                      live_fetcher=live_fetcher,
+                      frontier_buckets=args.buckets or None)
     for s in eng.run(max_rounds=args.max_rounds):
         print(s)
     return 0
@@ -213,6 +214,9 @@ def main(argv=None):
     pc.add_argument("--hosts", type=int, default=10,
                     help="synthetic web size when --pages is not given")
     pc.add_argument("--max-rounds", type=int, default=20)
+    pc.add_argument("--buckets", type=int, default=0,
+                    help="host-hash-bucket the frontier into N buckets "
+                         "(shuffle-free dequeue; 0 = window dequeue)")
     pc.set_defaults(fn=cmd_crawl)
 
     args = p.parse_args(argv)

@@ -242,6 +242,91 @@ def video_table(documents, id_col="doc_id"):
     return _payload_df(documents, make_video, id_col)
 
 
+# --- audio (16-bit PCM WAV) -----------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Canonical RIFF/WAVE container: fmt chunk (PCM, mono, 16-bit) +
+    data chunk of little-endian int16 samples."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_wav(buf: bytes):
+    """(sample_rate, int16 sample array) — real RIFF chunk walk (fmt
+    may not be the first chunk; chunks are word-aligned)."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        ln = struct.unpack_from("<I", buf, pos + 4)[0]
+        body = buf[pos + 8:pos + 8 + ln]
+        if cid == b"fmt ":
+            afmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH",
+                                                            body, 0)
+            if afmt != 1 or ch != 1 or bits != 16:
+                raise ValueError("only 16-bit mono PCM supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks are 2-byte aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def make_audio(doc_id: int) -> bytes:
+    """Deterministic PCM: n = 256 + 64·(doc_id%7) samples at 8 kHz,
+    sample i = (17·doc_id + 3·i) mod 4096 − 2048 (closed form, so the
+    oracle recomputes every decoded statistic)."""
+    n = 256 + 64 * (doc_id % 7)
+    i = np.arange(n, dtype=np.int64)
+    return encode_wav(((17 * doc_id + 3 * i) % 4096 - 2048))
+
+
+def audio_table(documents, id_col="doc_id"):
+    """(doc_id, payload): one WAV clip per document."""
+    return _payload_df(documents, make_audio, id_col)
+
+
+AUDIO_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("sample_rate", LongType()),
+    StructField("n_samples", LongType()),
+    StructField("duration_ms", LongType()),
+    StructField("peak", LongType()),
+    StructField("sum_abs", LongType()),
+])
+
+
+def decode_audio_metadata(payloads, id_col="doc_id"):
+    """Decode WAV payloads → typed metadata + exact integer loudness
+    statistics from the DECODED samples (proves the chunk walk and
+    sample byte order)."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            recs = []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                rate, s = decode_wav(bytes(payload))
+                a = np.abs(s.astype(np.int64))
+                recs.append({id_col: int(did), "sample_rate": rate,
+                             "n_samples": len(s),
+                             "duration_ms": len(s) * 1000 // rate,
+                             "peak": int(a.max()) if len(s) else 0,
+                             "sum_abs": int(a.sum())})
+            yield pd.DataFrame(recs, columns=[f.name
+                                              for f in AUDIO_SCHEMA.fields])
+
+    return payloads.mapInPandas(run, AUDIO_SCHEMA).orderBy(id_col)
+
+
 # --- operators -------------------------------------------------------------------
 
 DECODE_SCHEMA = StructType([

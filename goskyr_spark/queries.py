@@ -511,6 +511,22 @@ def q_mm_frames(spark, sf_dir):
                          every_k=3)
 
 
+def q_mm_audio(spark, sf_dir):
+    """16-bit PCM WAV decode (RIFF chunk walk) → exact loudness stats."""
+    from .ops.multimodal import audio_table, decode_audio_metadata
+
+    return decode_audio_metadata(audio_table(documents(spark, sf_dir)))
+
+
+def q_curate_keep(spark, sf_dir):
+    """End-to-end curation keep-list: quality + language + near-dup
+    keeper election composed into one declarative plan."""
+    from .ops.curate import keep_list
+
+    return keep_list(documents(spark, sf_dir), min_quality=0.5,
+                     lang="en", threshold=0.2)
+
+
 _STOP_RX = {
     "de": r"\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b",
     "en": r"\b(the|and|is|of|to|in|that|it|for|with)\b",
@@ -697,6 +713,19 @@ ORACLES_OPS["mm_resize"] = f"""
                CAST(10 AS BIGINT) AS out_height,
                {_MM_RS_PSUM} AS pixel_sum,
                {_MM_RS_CSUM} AS checksum
+        FROM p ORDER BY doc_id"""
+
+ORACLES_OPS["mm_audio"] = """
+        WITH p AS (SELECT doc_id, 256 + 64 * (doc_id % 7) AS n
+                   FROM documents)
+        SELECT doc_id,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+               CAST(list_max([abs((17 * doc_id + 3 * i) % 4096 - 2048)
+                              for i in range(0, n)]) AS BIGINT) AS peak,
+               CAST(list_sum([abs((17 * doc_id + 3 * i) % 4096 - 2048)
+                              for i in range(0, n)]) AS BIGINT) AS sum_abs
         FROM p ORDER BY doc_id"""
 
 _MM_FR_PSUM, _ = _mm_sums("s + 13 * f + i", "w * h * 3")
@@ -1131,6 +1160,21 @@ def _ivf_trained_ann_oracle(n_centroids=4, n_iter=2, n_probe=2, k=10):
 ORACLES_OPS["sim_ann_ivf_trained"] = _ivf_trained_ann_oracle()
 
 
+# curation keep-list: compose the quality, langid and components
+# oracles (derived tables; the components one carries its own WITH
+# RECURSIVE) — keep = quality gate AND language gate AND (no dup class
+# OR elected keeper)
+ORACLES_OPS["curate_keep"] = f"""
+    SELECT d.doc_id, q.quality, l.lang_pred
+    FROM documents d
+    JOIN ({ORACLES_OPS['txt_quality']}) q USING (doc_id)
+    JOIN ({ORACLES_OPS['txt_langid']}) l USING (doc_id)
+    LEFT JOIN ({ORACLES_OPS['dedup_components']}) c USING (doc_id)
+    WHERE q.quality >= 0.5 AND l.lang_pred = 'en'
+      AND (c.component IS NULL OR c.component = d.doc_id)
+    ORDER BY d.doc_id"""
+
+
 # The mock page's three expected items are a FIXED row set — the
 # reference's own e2e expectation (config-mock.yaml + scraper_test
 # fixtures), also byte-parity-asserted in tests/test_mock_e2e.py. A
@@ -1207,6 +1251,8 @@ def all_queries():
         "mm_decode": q_mm_decode,
         "mm_resize": q_mm_resize,
         "mm_frames": q_mm_frames,
+        "mm_audio": q_mm_audio,
+        "curate_keep": q_curate_keep,
         "crawl_mock_items": q_crawl_mock_items,
         "crawl_round": q_crawl_round,
     }

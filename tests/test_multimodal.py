@@ -135,3 +135,42 @@ def test_ops_end_to_end(spark):
         by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
     for d in range(20):
         assert by_doc[d] == list(range(0, 1 + d % 10, 3))
+
+
+def test_wav_round_trip():
+    from goskyr_spark.ops.multimodal import decode_wav, encode_wav
+
+    s = np.array([0, 100, -100, 32767, -32768, 7], dtype=np.int64)
+    rate, out = decode_wav(encode_wav(s, rate=8000))
+    assert rate == 8000
+    assert np.array_equal(out.astype(np.int64), s)
+
+
+def test_wav_chunk_walk_skips_unknown_chunks():
+    """Real RIFF files carry LIST/INFO chunks before data — the decoder
+    must walk chunks (with word alignment), not assume fixed offsets."""
+    import struct
+
+    from goskyr_spark.ops.multimodal import decode_wav, encode_wav
+
+    s = np.array([1, -2, 3], dtype=np.int64)
+    base = encode_wav(s)
+    fmt_and_data = base[12:]
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd + pad
+    patched = b"RIFF" + struct.pack(
+        "<I", 4 + len(junk) + len(fmt_and_data)) + b"WAVE" + junk \
+        + fmt_and_data
+    rate, out = decode_wav(patched)
+    assert rate == 8000 and np.array_equal(out.astype(np.int64), s)
+
+
+def test_make_audio_formula():
+    from goskyr_spark.ops.multimodal import decode_wav, make_audio
+
+    for d in (0, 3, 6, 13, 499):
+        rate, s = decode_wav(make_audio(d))
+        n = 256 + 64 * (d % 7)
+        assert rate == 8000 and len(s) == n
+        i = np.arange(n)
+        assert np.array_equal(s.astype(np.int64),
+                              (17 * d + 3 * i) % 4096 - 2048)

@@ -126,3 +126,32 @@ def test_jaccard_no_self_join(spark):
         # entries), deduplicated by AQE exchange reuse at runtime
         limit = 2 if not kw else 6
         assert plan.count(") ObjectHashAggregate") <= limit, plan
+
+
+def test_bucketed_dequeue_no_pending_shuffle(spark, tmp_path):
+    """The bucketed dequeue must not shuffle the pending set: no Window,
+    no join of the frontier against fetched — the only exchanges are the
+    tiny bucket-spec repartition and the final TakeOrdered merge."""
+    from datetime import datetime, timezone
+
+    from goskyr_spark.spark.crawl import CrawlEngine
+    from goskyr_spark.synth import (SynthSpec, event_scraper, host_name,
+                                    synth_pages_df)
+
+    spec = SynthSpec(n_hosts=3, pages_per_host=2, items_per_page=2,
+                     hot_hosts=0, hot_factor=1)
+    pages = synth_pages_df(spark, spec, include_fixtures=False)
+    eng = CrawlEngine(spark, str(tmp_path / "wd"), pages, event_scraper,
+                      [f"https://{host_name(h)}/list/1" for h in range(3)],
+                      now=datetime(2026, 3, 1, tzinfo=timezone.utc),
+                      frontier_buckets=8)
+    eng.run(max_rounds=2)
+    plan = _plan(eng._dequeue_bucketed())
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    # frontier/fetched parquet never enter the Spark plan at all — the
+    # kernel reads them task-locally (scan appears only for the
+    # in-memory bucket-spec dataframe)
+    assert plan.count(") Scan parquet") == 0, plan
+    assert "TakeOrderedAndProject" in plan, plan
