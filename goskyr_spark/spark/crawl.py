@@ -1042,7 +1042,10 @@ class CrawlEngine:
                                 # RFC 9309: 4xx (unavailable) ⇒ allow-all;
                                 # 5xx (unreachable) ⇒ complete disallow —
                                 # a transient server error must not
-                                # silently disable robots for the host
+                                # silently disable robots for the host.
+                                # robots_cache is per-round (kernel
+                                # state), so a 5xx host is retried on
+                                # the next round automatically
                                 rb = (b"" if e.status is not None
                                       and 400 <= e.status < 500
                                       else ROBOTS_DISALLOW_ALL)
