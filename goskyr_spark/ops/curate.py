@@ -1,13 +1,14 @@
 """Training-corpus curation: compose quality scoring, language ID and
 near-dup keeper election into the keep/drop decision a training-data
 pipeline actually ships. This is the end-to-end composition of the
-text-analysis and dedup operator families — one declarative plan, so
-Catalyst fuses the scoring passes over the documents scan.
+text-analysis and dedup operator families.
 
-Scale: quality/langid are pure column expressions over one scan; the
-component table only contains docs that appear in ANY near-dup pair
-(tiny relative to the corpus → broadcast join); the keep decision is a
-filter, never a shuffle of the corpus."""
+Scale: quality/langid are bare column expressions computed in ONE pass
+over the documents scan (not a join of three per-op derivatives of the
+same table, which would shuffle the corpus twice); the component table
+only contains docs that appear in ANY near-dup pair (tiny relative to
+the corpus → broadcast join); the keep decision is a filter, never a
+shuffle of the corpus."""
 
 from __future__ import annotations
 
@@ -19,15 +20,18 @@ def keep_list(documents, min_quality=0.5, lang="en", threshold=0.2):
     and either not near-duplicated or the elected keeper (component id
     == own id) of their dup class."""
     from .dedup import dup_components, ngram_jaccard_pairs
-    from .text import lang_id, quality_score
+    from .text import lang_pred_expr, quality_expr
 
-    q = quality_score(documents).select("doc_id", "quality")
-    lg = lang_id(documents).select("doc_id", "lang_pred")
     comp = dup_components(
         ngram_jaccard_pairs(documents, threshold=threshold))
-    return (documents.select("doc_id")
-            .join(q, "doc_id")
-            .join(lg, "doc_id")
+    # quality + language are bare column expressions over the SAME
+    # documents scan — one pass, no self-joins (a 3-way join of three
+    # derivatives of the same table would shuffle the corpus twice)
+    scored = documents.select(
+        "doc_id",
+        quality_expr().alias("quality"),
+        lang_pred_expr().alias("lang_pred"))
+    return (scored
             .join(F.broadcast(comp), "doc_id", "left")
             .filter((F.col("quality") >= min_quality)
                     & (F.col("lang_pred") == lang)

@@ -125,21 +125,33 @@ def bpe_token_count_real(documents, text_col="text", id_col="doc_id",
         F.col(id_col), n.cast("long").alias("n_bpe_tokens")).orderBy(id_col)
 
 
+def quality_expr(text_col="text"):
+    """The combined quality score as a bare Column — reusable inside
+    composed single-scan plans (ops/curate.py) as well as the
+    standalone quality_score operator."""
+    t = F.trim(F.col(text_col))
+    words = F.split(t, r"\s+")
+    n_words = F.size(words)
+    n_chars = F.length(t)
+    n_punct = F.regexp_count(t, F.lit(r"[.,;:!?]"))
+    n_digit = F.regexp_count(t, F.lit(r"[0-9]"))
+    score = (F.lit(1.0)
+             - F.least(F.lit(1.0), n_punct / F.greatest(n_words, F.lit(1)))
+             - F.least(F.lit(0.5), n_digit / F.greatest(n_chars, F.lit(1))))
+    return F.round(score, 4)
+
+
 def quality_score(documents, text_col="text", id_col="doc_id"):
     """Heuristic quality features: mean word length, stopword ratio,
     punctuation density, digit density + a combined score."""
     t = F.trim(F.col(text_col))
     words = F.split(t, r"\s+")
     n_words = F.size(words)
-    n_chars = F.length(t)
     n_stop = F.regexp_count(F.lower(t), F.lit(EN_STOPWORDS))
     n_punct = F.regexp_count(t, F.lit(r"[.,;:!?]"))
     n_digit = F.regexp_count(t, F.lit(r"[0-9]"))
     mean_wl = (F.length(F.regexp_replace(t, r"\s+", "")) / n_words)
     stop_ratio = n_stop / n_words
-    score = (F.lit(1.0)
-             - F.least(F.lit(1.0), n_punct / F.greatest(n_words, F.lit(1)))
-             - F.least(F.lit(0.5), n_digit / F.greatest(n_chars, F.lit(1))))
     return documents.select(
         F.col(id_col),
         n_words.alias("n_words"),
@@ -147,8 +159,24 @@ def quality_score(documents, text_col="text", id_col="doc_id"):
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         n_punct.alias("n_punct"),
         n_digit.alias("n_digit"),
-        F.round(score, 4).alias("quality"),
+        quality_expr(text_col).alias("quality"),
     ).orderBy(id_col)
+
+
+def lang_pred_expr(text_col="text"):
+    """Predicted language as a bare Column (argmax of marker-hit
+    counts, ties lexicographic) — reusable in composed plans."""
+    t = F.lower(F.trim(F.col(text_col)))
+    langs = sorted(LANG_MARKERS)
+    counts = {lang: F.regexp_count(t, F.lit(LANG_MARKERS[lang]))
+              for lang in langs}
+    best = F.lit(langs[0])
+    best_c = counts[langs[0]]
+    for lang in langs[1:]:
+        c = counts[lang]
+        best = F.when(c > best_c, F.lit(lang)).otherwise(best)
+        best_c = F.when(c > best_c, c).otherwise(best_c)
+    return best
 
 
 def lang_id(documents, text_col="text", id_col="doc_id"):

@@ -180,10 +180,61 @@ class SnapshotTable:
         return self.head() > 0
 
 
-class SnapshotStore:
-    def __init__(self, root: str):
-        self.root = root
-        os.makedirs(root, exist_ok=True)
+class IcebergTable:
+    """The production backend for SnapshotTable's contract — the same
+    surface expressed as real Iceberg calls. No Iceberg runtime jars
+    exist in this container, so construction raises; the class pins the
+    MAPPING so the swap is mechanical when a catalog is configured
+    (spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog):
 
-    def table(self, name: str) -> SnapshotTable:
+      append(df, meta)       → df.writeTo(ident).append(); meta goes to
+                               snapshot summary properties
+      overwrite(df, meta)    → df.writeTo(ident).createOrReplace()
+      bucketed writes        → a real bucket partition transform:
+                               ALTER TABLE t ADD PARTITION FIELD
+                               bucket(N, host) — replaces this module's
+                               manifest file→bucket map; the per-bucket
+                               task-local reads become ordinary
+                               partition-pruned scans
+      read(snapshot=s)       → spark.read.option("snapshot-id", s)
+                               .table(ident)
+      snapshots()            → SELECT * FROM ident.snapshots
+      head()                 → current_snapshot_id from ident.refs
+      rollback (recover)     → CALL cat.system.rollback_to_snapshot(
+                               ident, s)
+      compact()              → CALL cat.system.rewrite_data_files(ident)
+    """
+
+    def __init__(self, spark, ident: str):
+        jvm_class = "org.apache.iceberg.spark.SparkCatalog"
+        confs = [k for k, v in spark.sparkContext.getConf().getAll()
+                 if k.startswith("spark.sql.catalog.")
+                 and jvm_class in str(v)]
+        if not confs:
+            raise RuntimeError(
+                "no Iceberg catalog configured on this SparkSession "
+                "(expected a spark.sql.catalog.* = SparkCatalog conf); "
+                "this environment has no Iceberg runtime jars — use the "
+                "parquet SnapshotTable backend")
+        self.spark = spark
+        self.ident = ident  # pragma: no cover — needs Iceberg jars
+
+
+class SnapshotStore:
+    """Table factory. ``backend='parquet'`` (default) is the
+    self-contained manifest implementation above; ``backend='iceberg'``
+    returns IcebergTable handles (requires Iceberg jars + a configured
+    catalog — see IcebergTable for the call mapping)."""
+
+    def __init__(self, root: str, backend: str = "parquet", spark=None):
+        assert backend in ("parquet", "iceberg")
+        self.root = root
+        self.backend = backend
+        self.spark = spark
+        if backend == "parquet":
+            os.makedirs(root, exist_ok=True)
+
+    def table(self, name: str):
+        if self.backend == "iceberg":
+            return IcebergTable(self.spark, f"{self.root}.{name}")
         return SnapshotTable(self.root, name)

@@ -107,3 +107,18 @@ def test_snapshot_store(tmp_path):
     t.append(df2, {"round": 1})
     assert t.read(spark).count() == 3
     assert [m["snapshot"] for m in t.snapshots()][-1] == t.head()
+
+
+def test_iceberg_backend_seam():
+    """The iceberg backend exists as a documented seam: without a
+    configured catalog (this container has no Iceberg jars) it raises
+    with a clear message; the parquet default is unchanged."""
+    import pytest
+
+    from goskyr_spark.spark.session import get_spark
+    from goskyr_spark.spark.store import SnapshotStore
+
+    spark = get_spark(app="seam", master="local[2]", shuffle_partitions=2)
+    store = SnapshotStore("cat.db", backend="iceberg", spark=spark)
+    with pytest.raises(RuntimeError, match="Iceberg catalog"):
+        store.table("frontier")

@@ -155,3 +155,20 @@ def test_bucketed_dequeue_no_pending_shuffle(spark, tmp_path):
     # in-memory bucket-spec dataframe)
     assert plan.count(") Scan parquet") == 0, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_curate_keep_single_corpus_pass(spark):
+    """The curation keep-list computes quality + language as column
+    expressions over ONE documents pass and broadcasts the (tiny)
+    keeper table — no sort-merge self-join of corpus derivatives."""
+    from goskyr_spark.ops.curate import keep_list
+    from goskyr_spark.queries import documents
+
+    df = keep_list(documents(spark, SF_DIR))
+    plan = _plan(df)
+    # the keeper table is cached (label propagation already executed);
+    # judge the LIVE plan — everything above the InMemoryRelation dump
+    live = plan.split("InMemoryRelation")[0]
+    assert "BroadcastHashJoin" in live, plan
+    assert "SortMergeJoin" not in live, plan
+    assert live.count("Scan parquet") == 1, plan
