@@ -15,6 +15,73 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 
+def contamination_flags(documents, benchmark, shingle_n=3, min_overlap=2,
+                        text_col="text", id_col="doc_id"):
+    """Benchmark decontamination: flag corpus docs sharing at least
+    ``min_overlap`` distinct word n-gram shingles with the benchmark
+    set's shingle UNION — the pre-training hygiene step that keeps eval
+    data out of the corpus.
+
+    Scale: the benchmark is small by definition, so its distinct
+    shingle set BROADCASTS; the corpus side is one shingle explode +
+    broadcast-hash semi-join + per-doc count — no corpus shuffle and no
+    pairwise doc×benchmark join."""
+    from .dedup import shingles_expr
+
+    bset = (benchmark
+            .select(F.explode(shingles_expr(text_col, shingle_n))
+                    .alias("shingle"))
+            .distinct())
+    doc_sh = documents.select(
+        F.col(id_col),
+        F.explode(shingles_expr(text_col, shingle_n)).alias("shingle"))
+    # shingles_expr is per-doc DISTINCT, so count(*) counts distinct
+    # overlapping shingles per doc
+    hits = (doc_sh.join(F.broadcast(bset), "shingle")
+            .groupBy(id_col).agg(F.count("*").alias("n_overlap")))
+    return (documents.select(id_col)
+            .join(hits, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("n_overlap"), F.lit(0))
+                    .cast("long").alias("n_overlap"))
+            .withColumn("contaminated",
+                        F.when(F.col("n_overlap") >= min_overlap, 1)
+                        .otherwise(0).cast("long"))
+            .orderBy(id_col))
+
+
+def split_assign(documents, id_col="doc_id", train_pct=90, val_pct=5):
+    """Deterministic train/val/test assignment by content-independent
+    id hash (md5 — identical in the SQL oracle): bucket = first 48 bits
+    of md5(id) mod 100. Pure column expression; adding documents never
+    reshuffles existing assignments."""
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")
+                                      .cast("binary")), 1, 12),
+                    16, 10).cast("long") % 100
+    split = (F.when(bucket < train_pct, "train")
+             .when(bucket < train_pct + val_pct, "val")
+             .otherwise("test"))
+    return documents.select(F.col(id_col), bucket.alias("bucket"),
+                            split.alias("split")).orderBy(id_col)
+
+
+def token_budget(documents, group_col="source", text_col="text",
+                 id_col="doc_id"):
+    """Token accounting per corpus slice: docs + TRUE-BPE token sums
+    per group — the number a training run budgets against. The count is
+    a bare column expression over the one documents scan (no self-join)
+    feeding a map-side partial aggregation."""
+    from .text import bpe_real_count_expr
+
+    return (documents.select(
+                F.col(group_col),
+                bpe_real_count_expr(text_col).alias("_n_toks"))
+            .groupBy(group_col)
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("_n_toks").alias("n_tokens"))
+            .orderBy(group_col))
+
+
 def keep_list(documents, min_quality=0.5, lang="en", threshold=0.2):
     """Docs worth training on: quality ≥ min_quality, language == lang,
     and either not near-duplicated or the elected keeper (component id

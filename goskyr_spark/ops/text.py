@@ -89,12 +89,12 @@ BPE_MERGES = [
 BPE_TOKEN_SEP = "\x02"
 
 
-def bpe_token_count_real(documents, text_col="text", id_col="doc_id",
-                         merges=None):
-    """TRUE BPE token count: pretokenize (BPE_PATTERN), then apply the
-    merges table in rank order — one leftmost-greedy pass per merge
-    (replay semantics; GPT-2's encoder loops min-rank-first instead,
-    both are merges-table BPE) — and count the remaining symbols.
+def bpe_real_count_expr(text_col="text", merges=None):
+    """TRUE BPE token count as a bare Column: pretokenize (BPE_PATTERN),
+    then apply the merges table in rank order — one leftmost-greedy
+    pass per merge (replay semantics; GPT-2's encoder loops
+    min-rank-first instead, both are merges-table BPE) — and count the
+    remaining symbols.
 
     Everything is a column expression: the symbol stream is built with
     one regexp_replace, each merge is one literal ``replace``, and the
@@ -119,10 +119,17 @@ def bpe_token_count_real(documents, text_col="text", id_col="doc_id",
         stream = F.replace(stream, F.lit(f"|{a}||{b}|"),
                            F.lit(f"|{a}{b}|"))
     n_syms = F.size(F.split(stream, r"\|\|")) - 2
-    n = F.when(F.size(toks) == 0, F.lit(0)) \
-        .otherwise(n_syms - (F.size(toks) - 1))
+    return F.when(F.size(toks) == 0, F.lit(0)) \
+        .otherwise(n_syms - (F.size(toks) - 1)).cast("long")
+
+
+def bpe_token_count_real(documents, text_col="text", id_col="doc_id",
+                         merges=None):
+    """Per-doc TRUE BPE token count (see bpe_real_count_expr)."""
     return documents.select(
-        F.col(id_col), n.cast("long").alias("n_bpe_tokens")).orderBy(id_col)
+        F.col(id_col),
+        bpe_real_count_expr(text_col, merges).alias("n_bpe_tokens")) \
+        .orderBy(id_col)
 
 
 def quality_expr(text_col="text"):

@@ -527,6 +527,32 @@ def q_curate_keep(spark, sf_dir):
                      lang="en", threshold=0.2)
 
 
+def q_curate_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing ≥2 shingles with
+    the 'benchmark' slice (every 50th doc) get flagged — broadcast
+    semi-join, no corpus shuffle."""
+    from .ops.curate import contamination_flags
+
+    docs = documents(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return contamination_flags(docs, bench, shingle_n=3, min_overlap=2)
+
+
+def q_curate_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (md5 id-hash buckets)."""
+    from .ops.curate import split_assign
+
+    return split_assign(documents(spark, sf_dir))
+
+
+def q_curate_token_budget(spark, sf_dir):
+    """TRUE-BPE token budget per source slice (one scan + map-side
+    partial agg)."""
+    from .ops.curate import token_budget
+
+    return token_budget(documents(spark, sf_dir), group_col="source")
+
+
 _STOP_RX = {
     "de": r"\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b",
     "en": r"\b(the|and|is|of|to|in|that|it|for|with)\b",
@@ -1175,6 +1201,45 @@ ORACLES_OPS["curate_keep"] = f"""
     ORDER BY d.doc_id"""
 
 
+_SHINGLES3 = """SELECT doc_id, unnest(list_distinct(sh)) AS shingle FROM (
+            SELECT doc_id,
+                   [array_to_string(w[i:i+2], ' ')
+                    for i in range(1, greatest(len(w) - 2, 0) + 1)] AS sh
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(text), '\\s+') AS w
+                  FROM documents{where}))"""
+
+ORACLES_OPS["curate_decontaminate"] = f"""
+    WITH bs AS (SELECT DISTINCT shingle FROM (
+          {_SHINGLES3.format(where=' WHERE doc_id % 50 = 0')})),
+    ds AS ({_SHINGLES3.format(where='')}),
+    hits AS (SELECT doc_id, count(*) AS n
+             FROM ds JOIN bs USING (shingle) GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_overlap,
+           CAST(CASE WHEN coalesce(h.n, 0) >= 2 THEN 1 ELSE 0 END
+                AS BIGINT) AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    ORDER BY doc_id"""
+
+ORACLES_OPS["curate_split"] = """
+    SELECT doc_id, CAST(b AS BIGINT) AS bucket,
+           CASE WHEN b < 90 THEN 'train'
+                WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                     ::BIGINT % 100 AS b
+          FROM documents)
+    ORDER BY doc_id"""
+
+ORACLES_OPS["curate_token_budget"] = f"""
+    SELECT d.source AS source, count(*) AS n_docs,
+           CAST(sum(t.n_bpe_tokens) AS BIGINT) AS n_tokens
+    FROM documents d JOIN ({ORACLES_OPS['txt_bpe_real']}) t
+      USING (doc_id)
+    GROUP BY 1 ORDER BY source"""
+
+
 # The mock page's three expected items are a FIXED row set — the
 # reference's own e2e expectation (config-mock.yaml + scraper_test
 # fixtures), also byte-parity-asserted in tests/test_mock_e2e.py. A
@@ -1253,6 +1318,9 @@ def all_queries():
         "mm_frames": q_mm_frames,
         "mm_audio": q_mm_audio,
         "curate_keep": q_curate_keep,
+        "curate_decontaminate": q_curate_decontaminate,
+        "curate_split": q_curate_split,
+        "curate_token_budget": q_curate_token_budget,
         "crawl_mock_items": q_crawl_mock_items,
         "crawl_round": q_crawl_round,
     }
