@@ -27,6 +27,10 @@ def main():
     p.add_argument("--max-rounds", type=int, default=100)
     p.add_argument("--round-budget", type=int, default=100_000)
     p.add_argument("--per-host-budget", type=int, default=64)
+    p.add_argument("--buckets", type=int, default=4096,
+                   help="host-hash frontier buckets (shuffle-free "
+                        "dequeue); 0 = window dequeue. Size so one "
+                        "bucket's pending rows fit an executor task.")
     args = p.parse_args()
 
     spark = (SparkSession.builder.appName("goskyr-crawl")
@@ -55,6 +59,8 @@ def main():
     eng = CrawlEngine(spark, args.workdir, pages, event_scraper, seeds,
                       round_budget=args.round_budget,
                       per_host_budget=args.per_host_budget,
+                      frontier_buckets=args.buckets or None,
+                      compact_every=16,
                       now=datetime(2026, 3, 1, tzinfo=timezone.utc))
     for s in eng.run(max_rounds=args.max_rounds):
         print(s, flush=True)
