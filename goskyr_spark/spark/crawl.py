@@ -345,16 +345,22 @@ class CrawlEngine:
         bdf = df.withColumn(
             "_bucket", F.pmod(F.crc32(F.col("host")), F.lit(n_b))) \
             .repartition(parts, "_bucket")
-        getattr(table, mode)(bdf, meta, partition_by="_bucket")
+        # bucket_mod: a reader with a DIFFERENT bucket count must not
+        # trust these buckets (host-partitioning only holds per modulus)
+        getattr(table, mode)(bdf, dict(meta or {}, bucket_mod=n_b),
+                             partition_by="_bucket")
 
     def _buckets_complete(self):
         """True when EVERY live frontier/fetched file has a bucket
-        assignment — resuming a workdir written without bucketing (or
-        mid-migration) falls back to the window dequeue for
-        correctness."""
+        assignment UNDER THIS ENGINE'S MODULUS — resuming a workdir
+        written without bucketing, mid-migration, or with a different
+        frontier_buckets count falls back to the window dequeue for
+        correctness (a host is only guaranteed to live in one bucket
+        per modulus). The next compact() rewrites everything under the
+        current modulus, after which the bucketed path resumes."""
         for t in (self.t_frontier, self.t_fetched):
             files = set(t.manifest()["files"])
-            if files - set(t.bucket_map()):
+            if files - set(t.bucket_map(expect_mod=self.frontier_buckets)):
                 return False
         return True
 
@@ -366,8 +372,9 @@ class CrawlEngine:
         TakeOrdered merge over ≤ n_buckets × round_budget survivors.
         Produces the identical row set as the window dequeue (a host is
         entirely inside one bucket)."""
-        fmap = self.t_frontier.bucket_map()
-        gmap = self.t_fetched.bucket_map()
+        mod = self.frontier_buckets
+        fmap = self.t_frontier.bucket_map(expect_mod=mod)
+        gmap = self.t_fetched.bucket_map(expect_mod=mod)
         fdir, gdir = self.t_frontier.dir, self.t_fetched.dir
         by_bucket = {}
         for rel, b in fmap.items():

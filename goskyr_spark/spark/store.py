@@ -120,14 +120,25 @@ class SnapshotTable:
             meta = dict(meta or {}, file_buckets=buckets)
         return self._commit(files, meta, "append")
 
-    def bucket_map(self):
+    def bucket_map(self, expect_mod=None):
         """{relative file path → bucket} for the CURRENT snapshot's
         files, merged across the manifest chain (append-only commits
         carry only their own new files' buckets; rollback/compaction
-        keep the chain intact, so every live file resolves)."""
+        keep the chain intact, so every live file resolves).
+
+        ``expect_mod``: only files bucketed under THAT modulus count —
+        a file written as crc32(host) mod 8 does not partition hosts
+        the way mod 16 does, so a reader reconfigured to a different
+        bucket count must treat such files as unbucketed (and fall back
+        to a full-table path) until a compaction rewrites them."""
         merged = {}
         for m in self.snapshots():
-            merged.update(m["meta"].get("file_buckets") or {})
+            fb = m["meta"].get("file_buckets") or {}
+            if (expect_mod is not None
+                    and fb
+                    and m["meta"].get("bucket_mod") != expect_mod):
+                continue
+            merged.update(fb)
         live = set(self.manifest()["files"])
         return {f: b for f, b in merged.items() if f in live}
 

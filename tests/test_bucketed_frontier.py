@@ -58,10 +58,22 @@ def _run(spark, pages, wd, **kw):
     return eng
 
 
-def test_bucketed_dequeue_identical_crawl(spark, pages, tmp_path):
-    ref = _run(spark, pages, str(tmp_path / "win"))
-    got = _run(spark, pages, str(tmp_path / "bkt"), frontier_buckets=8)
-    assert _digest(got, spark) == _digest(ref, spark)
+@pytest.fixture(scope="module")
+def ref_engine(spark, pages, tmp_path_factory):
+    """One window-mode reference crawl shared by every equality test."""
+    return _run(spark, pages, str(tmp_path_factory.mktemp("win")))
+
+
+@pytest.fixture(scope="module")
+def bucketed_engine(spark, pages, tmp_path_factory):
+    """One bucketed crawl shared by the digest/file/resume tests."""
+    return _run(spark, pages, str(tmp_path_factory.mktemp("bkt")),
+                frontier_buckets=8)
+
+
+def test_bucketed_dequeue_identical_crawl(spark, pages, tmp_path,
+                                          ref_engine, bucketed_engine):
+    assert _digest(bucketed_engine, spark) == _digest(ref_engine, spark)
     # and with per-host budgets + compaction in the loop
     ref2 = _run(spark, pages, str(tmp_path / "win2"), per_host_budget=2,
                 round_budget=7)
@@ -70,8 +82,8 @@ def test_bucketed_dequeue_identical_crawl(spark, pages, tmp_path):
     assert _digest(got2, spark) == _digest(ref2, spark)
 
 
-def test_bucketed_files_are_per_bucket(spark, pages, tmp_path):
-    eng = _run(spark, pages, str(tmp_path / "wd"), frontier_buckets=8)
+def test_bucketed_files_are_per_bucket(spark, pages, bucketed_engine):
+    eng = bucketed_engine
     for t in (eng.t_frontier, eng.t_fetched):
         bmap = t.bucket_map()
         files = t.manifest()["files"]
@@ -89,12 +101,12 @@ def test_bucketed_files_are_per_bucket(spark, pages, tmp_path):
             assert got == {b}, (t.name, rel)
 
 
-def test_bucketed_resume(spark, pages, tmp_path):
+def test_bucketed_resume(spark, pages, tmp_path, bucketed_engine):
     """Crash-resume on a bucketed workdir replays identically."""
     from goskyr_spark.synth import event_scraper, host_name
 
     seeds = [f"https://{host_name(h)}/list/1" for h in range(6)]
-    full = _run(spark, pages, str(tmp_path / "full"), frontier_buckets=8)
+    full = bucketed_engine
 
     eng1 = CrawlEngine(spark, str(tmp_path / "part"), pages,
                        event_scraper, seeds, now=NOW, frontier_buckets=8)
@@ -105,7 +117,8 @@ def test_bucketed_resume(spark, pages, tmp_path):
     assert _digest(eng2, spark) == _digest(full, spark)
 
 
-def test_legacy_workdir_falls_back_to_window(spark, pages, tmp_path):
+def test_legacy_workdir_falls_back_to_window(spark, pages, tmp_path,
+                                             ref_engine):
     """A workdir written WITHOUT bucketing, resumed with
     frontier_buckets set: the dequeue falls back to the window path for
     the rounds whose files lack bucket assignments — the crawl is still
@@ -113,7 +126,7 @@ def test_legacy_workdir_falls_back_to_window(spark, pages, tmp_path):
     from goskyr_spark.synth import event_scraper, host_name
 
     seeds = [f"https://{host_name(h)}/list/1" for h in range(6)]
-    ref = _run(spark, pages, str(tmp_path / "ref"))
+    ref = ref_engine
 
     eng1 = CrawlEngine(spark, str(tmp_path / "mix"), pages,
                        event_scraper, seeds, now=NOW)
@@ -123,3 +136,25 @@ def test_legacy_workdir_falls_back_to_window(spark, pages, tmp_path):
     assert not eng2._buckets_complete()
     eng2.run(max_rounds=15)
     assert _digest(eng2, spark) == _digest(ref, spark)
+
+
+def test_rebucketing_falls_back_then_heals(spark, pages, tmp_path,
+                                           ref_engine):
+    """Resuming with a DIFFERENT frontier_buckets count must not trust
+    the old bucket maps (a host only stays in one bucket per modulus):
+    the dequeue falls back to the window path, the crawl stays
+    identical, and the next compact() rewrites the tables under the new
+    modulus so the bucketed path resumes."""
+    from goskyr_spark.synth import event_scraper, host_name
+
+    seeds = [f"https://{host_name(h)}/list/1" for h in range(6)]
+    eng1 = CrawlEngine(spark, str(tmp_path / "re"), pages,
+                       event_scraper, seeds, now=NOW, frontier_buckets=8)
+    eng1.run(max_rounds=2)
+    eng2 = CrawlEngine(spark, str(tmp_path / "re"), pages,
+                       event_scraper, seeds, now=NOW, frontier_buckets=4)
+    assert not eng2._buckets_complete()  # mod mismatch → window path
+    eng2.run(max_rounds=15)
+    assert _digest(eng2, spark) == _digest(ref_engine, spark)
+    eng2.compact()
+    assert eng2._buckets_complete()  # rewritten under mod 4
