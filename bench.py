@@ -206,7 +206,8 @@ def bench_queries(spark):
              "dedup_embed_capped",
              "txt_tokens", "txt_quality", "txt_langid", "txt_fingerprint",
              "txt_bpe", "txt_bpe_real", "sim_topk", "sim_ann_lsh",
-             "sim_ann_lsh_multi", "sim_ann_ivf", "sim_ann_ivf_probed",
+             "sim_ann_lsh_multi", "sim_ann_lsh_probed",
+             "sim_ann_ivf", "sim_ann_ivf_probed",
              "sim_ivf_train", "sim_ann_ivf_trained",
              "mm_decode", "mm_resize", "mm_frames", "mm_audio",
              "curate_keep", "curate_decontaminate", "curate_split",

@@ -187,6 +187,27 @@ def ann_topk_lsh_multi(embeddings, query_vec_id=0, k=10, n_planes=4,
     return cosine_topk(cand, query_vec_id, k, id_col, vec_col)
 
 
+def ann_topk_lsh_probed(embeddings, query_vec_id=0, k=10, n_planes=4,
+                        hamming=1, id_col="vec_id", vec_col="embedding"):
+    """Single-table MULTI-PROBE LSH: scan every bucket within the given
+    Hamming distance of the query's bucket (a near-boundary vector
+    differs from the query by a few plane signs — the standard
+    multi-probe recall lever, complementary to multi-table). Candidate
+    fraction ≈ Σ C(n_planes, d≤hamming) / 2^n_planes of the corpus; the
+    probe set is a bit_count filter on the precomputed bucket column —
+    partition-prunable when the table is written partitioned by
+    bucket."""
+    buckets = srp_lsh_buckets(embeddings, n_planes, id_col, vec_col)
+    with_b = embeddings.join(buckets, id_col)
+    qb = with_b.filter(F.col(id_col) == query_vec_id) \
+        .select(F.col("bucket").alias("_qb"))
+    cand = (with_b.crossJoin(F.broadcast(qb))
+            .filter(F.bit_count(F.col("bucket").bitwiseXOR(F.col("_qb")))
+                    <= hamming)
+            .select(id_col, vec_col))
+    return cosine_topk(cand, query_vec_id, k, id_col, vec_col)
+
+
 def ann_topk_ivf_probed(embeddings, query_vec_id=0, k=10, n_centroids=4,
                         n_probe=2, id_col="vec_id", vec_col="embedding",
                         centroids=None):

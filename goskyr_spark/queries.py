@@ -457,6 +457,14 @@ def q_sim_ann_lsh_multi(spark, sf_dir):
                               k=10, n_planes=4, n_tables=3)
 
 
+def q_sim_ann_lsh_probed(spark, sf_dir):
+    """Single-table multi-probe LSH ANN (Hamming≤1 buckets scanned)."""
+    from .ops.similarity import ann_topk_lsh_probed
+
+    return ann_topk_lsh_probed(embeddings(spark, sf_dir), query_vec_id=0,
+                               k=10, n_planes=4, hamming=1)
+
+
 def q_sim_ann_ivf_probed(spark, sf_dir):
     """Multi-probe IVF ANN (n_probe=2 nearest cells scanned)."""
     from .ops.similarity import ann_topk_ivf_probed
@@ -1101,6 +1109,20 @@ def _ivf_probed_oracle(n_centroids=4, n_probe=2, k=10):
 
 ORACLES_OPS["sim_ann_ivf_probed"] = _ivf_probed_oracle()
 
+# multi-probe LSH: buckets within Hamming distance 1 of the query's —
+# for 4 planes the admissible XOR values are {0, 1, 2, 4, 8}
+ORACLES_OPS["sim_ann_lsh_probed"] = f"""
+        WITH {_bucket_cte()},
+        qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+               {_cosine_sql('e.embedding', 'q.qv')} AS cosine
+        FROM embeddings e
+        JOIN buckets be ON be.vec_id = e.vec_id, qb, q
+        WHERE xor(be.bucket, qb.bucket) IN (0, 1, 2, 4, 8)
+          AND e.vec_id != 0
+        ORDER BY cosine DESC, e.vec_id LIMIT 10"""
+
 
 # --- seeded k-means (ivf_train) oracle: replay the training exactly.
 # Quantized inputs (round(v·1000)) make every sum exact, so the
@@ -1306,6 +1328,7 @@ def all_queries():
         "sim_ivf_assign": q_sim_ivf_assign,
         "sim_ann_ivf": q_sim_ann_ivf,
         "sim_ann_lsh_multi": q_sim_ann_lsh_multi,
+        "sim_ann_lsh_probed": q_sim_ann_lsh_probed,
         "sim_ann_ivf_probed": q_sim_ann_ivf_probed,
         "sim_ivf_train": q_sim_ivf_train,
         "sim_ann_ivf_trained": q_sim_ann_ivf_trained,

@@ -45,6 +45,21 @@ def test_multi_table_lsh_raises_recall(spark, emb):
     assert r3 >= 3
 
 
+def test_multi_probe_lsh_raises_recall(spark, emb):
+    """Hamming-1 probing scans (1 + n_planes)/2^n_planes of the corpus
+    and must not lose (and here strictly gains) recall vs one bucket."""
+    from goskyr_spark.ops.similarity import (ann_topk_lsh,
+                                             ann_topk_lsh_probed,
+                                             cosine_topk)
+
+    exact = _ids(cosine_topk(emb, 0, 10))
+    r1 = len(_ids(ann_topk_lsh(emb, 0, 10, n_planes=4)) & exact)
+    rp = len(_ids(ann_topk_lsh_probed(emb, 0, 10, n_planes=4,
+                                      hamming=1)) & exact)
+    assert rp >= r1, (r1, rp)
+    assert rp >= 3
+
+
 def test_multi_probe_ivf_raises_recall(spark, emb):
     from goskyr_spark.ops.similarity import (ann_topk_ivf,
                                              ann_topk_ivf_probed,
