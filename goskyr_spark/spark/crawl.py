@@ -940,6 +940,7 @@ class CrawlEngine:
         n_dequeued = dequeued.count()
         if n_dequeued == 0:
             dequeued.unpersist()
+            self._release_round_broadcasts()  # bucketed dequeue's file map
             self.t_rounds.append_rows(
                 [(round_no, 0, 0, 0, 0, 0, time.time() - t0)],
                 ROUNDS_SCHEMA, {"round": round_no})
