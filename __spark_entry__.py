@@ -6,8 +6,9 @@
 - ``queries()``: one entry per implemented operator family from
   SURVEY.md §2 plus the training-data-pipeline ops (dedup incl. keeper
   election, similarity/ANN incl. multi-table LSH + multi-probe IVF +
-  trained k-means, text analysis incl. true merges-table BPE, real
-  numpy raster multimodal kernels, crawl rounds).
+  trained k-means, text analysis incl. true merges-table BPE and
+  Gopher/C4 repetition + quality filtering, real numpy raster
+  multimodal kernels, crawl rounds).
 - ``oracle_sql()``: DuckDB-runnable ANSI SQL equivalents (same column
   names/aliases) for EVERY query — the deterministic stateful ones
   (crawl rounds, mock items) are gated as literal VALUES row sets.

@@ -561,6 +561,62 @@ def q_curate_token_budget(spark, sf_dir):
     return token_budget(documents(spark, sf_dir), group_col="source")
 
 
+def q_txt_repetition(spark, sf_dir):
+    """Gopher repetition statistics (dup lines, top-2/3-gram char
+    fraction, dup-5-gram char fraction) — in-row run-length pass over
+    sorted n-gram arrays; one scan, zero shuffle (ops/gopher.py)."""
+    from .ops.gopher import repetition_stats
+
+    return repetition_stats(documents(spark, sf_dir))
+
+
+def q_txt_gopher_quality(spark, sf_dir):
+    """Gopher quality-rule metrics + keep flag (word-count bound
+    lowered to the synthetic corpus's 20-60-word scale so the gate has
+    mixed outcomes)."""
+    from .ops.gopher import gopher_quality
+
+    return gopher_quality(documents(spark, sf_dir), min_words=40,
+                          min_stop_hits=1)
+
+
+def q_curate_gopher(spark, sf_dir):
+    """The full Gopher document gate (repetition + quality) in ONE
+    documents scan."""
+    from .ops.gopher import curate_gopher
+
+    return curate_gopher(documents(spark, sf_dir), min_words=40,
+                         max_top2_frac=0.10, max_top3_frac=0.06,
+                         min_stop_hits=1)
+
+
+def _paginated_docs(spark, sf_dir):
+    """documents with a deterministic multi-line wrapper: 8-word lines,
+    a '.' appended where (doc_id + line_idx) is even — the synthetic
+    harness that gives the LINE-level C4 rules real signal on the
+    newline-free test corpus (identically expressed in the oracle)."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    line = lambda s: F.concat(  # noqa: E731
+        F.array_join(F.slice(words, s, 8), " "),
+        F.when(((F.col("doc_id")
+                 + F.floor((s - F.lit(1)) / 8).cast("long")) % 2) == 0,
+               F.lit(".")).otherwise(F.lit("")))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(words), F.lit(1)),
+                        F.lit(8))
+    return documents(spark, sf_dir).select(
+        "doc_id",
+        F.array_join(F.transform(starts, line), "\n").alias("text"))
+
+
+def q_txt_c4_clean(spark, sf_dir):
+    """C4 line-level cleaning over the paginated wrapper: keep
+    terminal-punctuated >=3-word lines; page_keep needs >=2 survivors."""
+    from .ops.gopher import c4_line_clean
+
+    return c4_line_clean(_paginated_docs(spark, sf_dir),
+                         min_kept_lines=2)
+
+
 _STOP_RX = {
     "de": r"\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b",
     "en": r"\b(the|and|is|of|to|in|that|it|for|with)\b",
@@ -1262,6 +1318,137 @@ ORACLES_OPS["curate_token_budget"] = f"""
     GROUP BY 1 ORDER BY source"""
 
 
+# --- Gopher/C4 curation oracles ------------------------------------------------
+# The Spark side computes the n-gram mode IN-ROW (run-length over the
+# sorted gram array, ties to lex-smallest); the oracle reproduces the
+# same choice relationally: row_number() ORDER BY count DESC, gram ASC.
+
+def _gram_cte(n):
+    """doc_id, gram, count CTE body for word n-grams (DuckDB)."""
+    return f"""SELECT doc_id, g, count(*) AS c FROM (
+            SELECT doc_id, unnest([array_to_string(w[i:i+{n - 1}], ' ')
+              for i in range(1, greatest(len(w) - {n - 1}, 0) + 1)]) AS g
+            FROM base) GROUP BY 1, 2"""
+
+
+_REP_BASE = r"""base AS (
+      SELECT doc_id, trim(text) AS t,
+             string_split_regex(trim(text), '\s+') AS w,
+             length(trim(text)) AS n_chars,
+             [trim(x) for x in string_split(trim(text), chr(10))] AS ls
+      FROM documents)"""
+
+_REP_FRAC = ("round(least(1.0, coalesce({num}, 0) * 1.0"
+             " / greatest(n_chars, 1)), 6)")
+
+ORACLES_OPS["txt_repetition"] = f"""
+    WITH {_REP_BASE},
+    lc AS (SELECT doc_id, l, count(*) AS c
+           FROM (SELECT doc_id, unnest(ls) AS l FROM base) GROUP BY 1, 2),
+    ldup AS (SELECT doc_id, sum((c - 1) * length(l)) AS chars
+             FROM lc WHERE c > 1 GROUP BY 1),
+    g2 AS ({_gram_cte(2)}),
+    t2 AS (SELECT doc_id, c * length(g) AS chars FROM (
+            SELECT doc_id, g, c, row_number() OVER
+              (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM g2)
+           WHERE rn = 1),
+    g3 AS ({_gram_cte(3)}),
+    t3 AS (SELECT doc_id, c * length(g) AS chars FROM (
+            SELECT doc_id, g, c, row_number() OVER
+              (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM g3)
+           WHERE rn = 1),
+    g5 AS ({_gram_cte(5)}),
+    d5 AS (SELECT doc_id, sum(c * length(g)) AS chars
+           FROM g5 WHERE c > 1 GROUP BY 1)
+    SELECT b.doc_id,
+      round(least(1.0, (len(ls) - len(list_distinct(ls))) * 1.0
+            / greatest(len(ls), 1)), 6) AS dup_line_frac,
+      {_REP_FRAC.format(num='ldup.chars')} AS dup_line_char_frac,
+      {_REP_FRAC.format(num='t2.chars')} AS top_2gram_char_frac,
+      {_REP_FRAC.format(num='t3.chars')} AS top_3gram_char_frac,
+      {_REP_FRAC.format(num='d5.chars')} AS dup_5gram_char_frac
+    FROM base b LEFT JOIN ldup USING (doc_id) LEFT JOIN t2 USING (doc_id)
+    LEFT JOIN t3 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+    ORDER BY doc_id"""
+
+# inner metric projection shared by the quality + composed gates
+_QUAL_METRICS = r"""
+    SELECT doc_id,
+      len(w) AS n_words,
+      round(length(regexp_replace(t, '\s+', '', 'g')) * 1.0
+            / greatest(len(w), 1), 4) AS mean_word_len,
+      round((len(regexp_extract_all(t, '#'))
+             + len(regexp_extract_all(t, '\.\.\.|…'))) * 1.0
+            / greatest(len(w), 1), 6) AS symbol_word_ratio,
+      round(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0
+            / greatest(len(w), 1), 6) AS alpha_word_frac,
+      CAST(len(list_distinct(regexp_extract_all(lower(t),
+           '\b(the|be|to|of|and|that|have|with)\b'))) AS BIGINT)
+          AS n_stop_hits,
+      round(len(list_filter(ls, x -> regexp_matches(x, '^[-*•]'))) * 1.0
+            / greatest(len(ls), 1), 6) AS bullet_line_frac,
+      round(len(list_filter(ls, x -> regexp_matches(x, '(\.\.\.|…)$')))
+            * 1.0 / greatest(len(ls), 1), 6) AS ellipsis_line_frac
+    FROM base"""
+
+_QUAL_KEEP = """(n_words BETWEEN {minw} AND 100000
+      AND mean_word_len BETWEEN 3.0 AND 10.0
+      AND symbol_word_ratio <= 0.1 AND alpha_word_frac >= 0.8
+      AND n_stop_hits >= {minstop} AND bullet_line_frac <= 0.9
+      AND ellipsis_line_frac <= 0.3)"""
+
+ORACLES_OPS["txt_gopher_quality"] = f"""
+    WITH {_REP_BASE},
+    m AS ({_QUAL_METRICS})
+    SELECT *, CAST(CASE WHEN {_QUAL_KEEP.format(minw=40, minstop=1)}
+                   THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM m ORDER BY doc_id"""
+
+ORACLES_OPS["curate_gopher"] = f"""
+    WITH rep AS ({ORACLES_OPS['txt_repetition']}),
+    {_REP_BASE},
+    q AS ({_QUAL_METRICS})
+    SELECT rep.doc_id, rep.dup_line_frac, rep.top_2gram_char_frac,
+           rep.top_3gram_char_frac, rep.dup_5gram_char_frac,
+           q.n_words, q.n_stop_hits,
+           CAST(CASE WHEN rep.dup_line_frac <= 0.30
+                  AND rep.top_2gram_char_frac <= 0.10
+                  AND rep.top_3gram_char_frac <= 0.06
+                  AND rep.dup_5gram_char_frac <= 0.15
+                  AND {_QUAL_KEEP.format(minw=40, minstop=1)}
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM rep JOIN q USING (doc_id) ORDER BY doc_id"""
+
+# the paginate wrapper (8-word lines, '.' where doc_id+line_idx is
+# even) is part of the query on BOTH sides — see _paginated_docs
+ORACLES_OPS["txt_c4_clean"] = r"""
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+               FROM documents),
+    wrapped AS (
+      SELECT doc_id,
+        array_to_string([array_to_string(w[s:s+7], ' ') ||
+           (CASE WHEN (doc_id + (s-1)//8) % 2 = 0 THEN '.' ELSE '' END)
+           for s in range(1, greatest(len(w), 1) + 1, 8)],
+          chr(10)) AS text
+      FROM w),
+    base AS (SELECT doc_id, trim(text) AS t,
+                    [trim(x) for x in string_split(trim(text), chr(10))]
+                        AS ls
+             FROM wrapped),
+    res AS (SELECT doc_id, ls, t,
+             list_filter(ls, x -> regexp_matches(x, '[.!?"”]$')
+                 AND len(string_split_regex(x, '\s+')) >= 3
+                 AND NOT contains(lower(x), 'javascript')) AS kept
+            FROM base)
+    SELECT doc_id, len(ls) AS n_lines, len(kept) AS n_kept,
+      coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+      CAST(CASE WHEN len(kept) >= 2
+                 AND NOT contains(lower(t), 'lorem ipsum')
+                 AND NOT contains(t, '{') THEN 1 ELSE 0 END AS BIGINT)
+          AS page_keep
+    FROM res ORDER BY doc_id"""
+
+
 # The mock page's three expected items are a FIXED row set — the
 # reference's own e2e expectation (config-mock.yaml + scraper_test
 # fixtures), also byte-parity-asserted in tests/test_mock_e2e.py. A
@@ -1340,6 +1527,10 @@ def all_queries():
         "mm_resize": q_mm_resize,
         "mm_frames": q_mm_frames,
         "mm_audio": q_mm_audio,
+        "txt_repetition": q_txt_repetition,
+        "txt_gopher_quality": q_txt_gopher_quality,
+        "txt_c4_clean": q_txt_c4_clean,
+        "curate_gopher": q_curate_gopher,
         "curate_keep": q_curate_keep,
         "curate_decontaminate": q_curate_decontaminate,
         "curate_split": q_curate_split,
