@@ -209,6 +209,8 @@ def bench_queries(spark):
              "sim_ann_lsh_multi", "sim_ann_lsh_probed",
              "sim_ann_ivf", "sim_ann_ivf_probed",
              "sim_ivf_train", "sim_ann_ivf_trained",
+             "txt_repetition", "txt_gopher_quality", "txt_c4_clean",
+             "curate_gopher",
              "mm_decode", "mm_resize", "mm_frames", "mm_audio",
              "curate_keep", "curate_decontaminate", "curate_split",
              "curate_token_budget"]

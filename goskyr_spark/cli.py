@@ -143,7 +143,8 @@ def cmd_crawl(args):
     eng = CrawlEngine(spark, args.workdir, pages, factory, seeds,
                       now=datetime(2026, 3, 1, tzinfo=timezone.utc),
                       live_fetcher=live_fetcher,
-                      frontier_buckets=args.buckets or None)
+                      frontier_buckets=args.buckets or None,
+                      adaptive_priority=args.adaptive)
     for s in eng.run(max_rounds=args.max_rounds):
         print(s)
     return 0
@@ -217,6 +218,10 @@ def main(argv=None):
     pc.add_argument("--buckets", type=int, default=0,
                     help="host-hash-bucket the frontier into N buckets "
                          "(shuffle-free dequeue; 0 = window dequeue)")
+    pc.add_argument("--adaptive", action="store_true",
+                    help="adaptive host priority: schedule item-yielding"
+                         " hosts earlier, failing hosts later (feedback "
+                         "from the fetched-history table)")
     pc.set_defaults(fn=cmd_crawl)
 
     args = p.parse_args(argv)

@@ -617,6 +617,42 @@ def q_txt_c4_clean(spark, sf_dir):
                          min_kept_lines=2)
 
 
+def q_curate_corpus(spark, sf_dir):
+    """The full corpus-curation pipeline a training-data team ships,
+    end to end in one query: Gopher repetition+quality gate (in-scan
+    column expressions) AND benchmark decontamination (broadcast
+    semi-join) AND near-dup keeper election (components table is tiny —
+    broadcast join) AND deterministic split assignment (pure column
+    expression). `selected` is the final keep decision."""
+    from .ops.curate import contamination_flags, split_assign
+    from .ops.dedup import dup_components, ngram_jaccard_pairs
+    from .ops.gopher import curate_gopher
+
+    docs = documents(spark, sf_dir)
+    g = curate_gopher(docs, min_words=40, max_top2_frac=0.10,
+                      max_top3_frac=0.06, min_stop_hits=1) \
+        .select("doc_id", F.col("keep").alias("gopher_keep"))
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    decon = contamination_flags(docs, bench) \
+        .select("doc_id", "contaminated")
+    comp = dup_components(ngram_jaccard_pairs(docs, threshold=0.2))
+    spl = split_assign(docs).select("doc_id", "split")
+    return (docs.select("doc_id")
+            .join(g, "doc_id").join(decon, "doc_id").join(spl, "doc_id")
+            .join(F.broadcast(comp), "doc_id", "left")
+            .withColumn("is_keeper",
+                        (F.col("component").isNull()
+                         | (F.col("component") == F.col("doc_id")))
+                        .cast("long"))
+            .withColumn("selected",
+                        ((F.col("gopher_keep") == 1)
+                         & (F.col("contaminated") == 0)
+                         & (F.col("is_keeper") == 1)).cast("long"))
+            .select("doc_id", "gopher_keep", "contaminated", "is_keeper",
+                    "split", "selected")
+            .orderBy("doc_id"))
+
+
 _STOP_RX = {
     "de": r"\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b",
     "en": r"\b(the|and|is|of|to|in|that|it|for|with)\b",
@@ -1419,6 +1455,22 @@ ORACLES_OPS["curate_gopher"] = f"""
                 THEN 1 ELSE 0 END AS BIGINT) AS keep
     FROM rep JOIN q USING (doc_id) ORDER BY doc_id"""
 
+ORACLES_OPS["curate_corpus"] = f"""
+    WITH g AS ({ORACLES_OPS['curate_gopher']}),
+    d AS ({ORACLES_OPS['curate_decontaminate']}),
+    c AS ({ORACLES_OPS['dedup_components']}),
+    s AS ({ORACLES_OPS['curate_split']})
+    SELECT g.doc_id, g.keep AS gopher_keep, d.contaminated,
+      CAST(CASE WHEN c.component IS NULL OR c.component = g.doc_id
+           THEN 1 ELSE 0 END AS BIGINT) AS is_keeper,
+      s.split,
+      CAST(CASE WHEN g.keep = 1 AND d.contaminated = 0
+             AND (c.component IS NULL OR c.component = g.doc_id)
+           THEN 1 ELSE 0 END AS BIGINT) AS selected
+    FROM g JOIN d USING (doc_id) JOIN s USING (doc_id)
+    LEFT JOIN c USING (doc_id)
+    ORDER BY doc_id"""
+
 # the paginate wrapper (8-word lines, '.' where doc_id+line_idx is
 # even) is part of the query on BOTH sides — see _paginated_docs
 ORACLES_OPS["txt_c4_clean"] = r"""
@@ -1531,6 +1583,7 @@ def all_queries():
         "txt_gopher_quality": q_txt_gopher_quality,
         "txt_c4_clean": q_txt_c4_clean,
         "curate_gopher": q_curate_gopher,
+        "curate_corpus": q_curate_corpus,
         "curate_keep": q_curate_keep,
         "curate_decontaminate": q_curate_decontaminate,
         "curate_split": q_curate_split,

@@ -214,7 +214,8 @@ class CrawlEngine:
                  slab_driver_threshold=100_000, seen_mode="auto",
                  seen_broadcast_max_bytes=64 << 20, debug=False,
                  live_fetcher=None, compact_every=None,
-                 frontier_buckets=None):
+                 frontier_buckets=None, adaptive_priority=False,
+                 adaptive_yield_weight=0.5, adaptive_error_weight=2.0):
         assert n_slabs & (n_slabs - 1) == 0, "n_slabs must be a power of two"
         self.spark = spark
         self.store = SnapshotStore(workdir)
@@ -268,6 +269,22 @@ class CrawlEngine:
         # (pytest-asserted). Size N so one bucket's pending rows fit a
         # task (e.g. 4096 at 10^10). None = classic window dequeue.
         self.frontier_buckets = frontier_buckets
+        # adaptive_priority=True folds per-host crawl feedback into the
+        # dequeue ranking (focused-crawl scheduling): hosts that yield
+        # items get dequeued earlier, hosts that fail fetches later.
+        # The feedback derives ENTIRELY from the fetched-history table
+        # (status / n_items per host) — no new state, so resume,
+        # rollback and compaction need no changes, and the adjustment is
+        # deterministic (integer sums + one double expression). Within a
+        # host the adjustment is constant, so per-host ordering — and
+        # politeness — is untouched; only cross-host selection/order
+        # changes. Default OFF: the classic digest is bit-identical.
+        #   eff_priority = priority
+        #       + error_weight * (n_fetched - n_ok) / n_fetched
+        #       - yield_weight * min(1, n_items / max(n_ok, 1))
+        self.adaptive_priority = adaptive_priority
+        self.adaptive_yield_weight = adaptive_yield_weight
+        self.adaptive_error_weight = adaptive_error_weight
         # one schema for all hosts: factory must produce field-compatible
         # scrapers (heterogeneous configs get engine instances per config)
         self._proto = scraper_factory("proto.invalid")
@@ -388,6 +405,9 @@ class CrawlEngine:
             return self.spark.createDataFrame([], FRONTIER_SCHEMA)
         bc = self._bc(by_bucket)
         per_host, budget = self.per_host_budget, self.round_budget
+        adaptive = self.adaptive_priority
+        err_w = float(self.adaptive_error_weight)
+        yld_w = float(self.adaptive_yield_weight)
         cols = [f.name for f in FRONTIER_SCHEMA.fields]
         arrow_schema = pa.schema([
             pa.field("url", pa.string()),
@@ -398,8 +418,15 @@ class CrawlEngine:
             pa.field("discovered_round", pa.int64()),
             pa.field("page_no", pa.int64()),
         ])
+        out_cols = cols + ["_eff"] if adaptive else cols
+        out_arrow = (arrow_schema.append(pa.field("_eff", pa.float64()))
+                     if adaptive else arrow_schema)
+        out_spark = (StructType(FRONTIER_SCHEMA.fields +
+                                [StructField("_eff", DoubleType())])
+                     if adaptive else FRONTIER_SCHEMA)
 
         def kernel(batches):
+            import numpy as np
             import pyarrow.parquet as pq
 
             for batch in batches:
@@ -411,28 +438,60 @@ class CrawlEngine:
                         [pq.read_table(p, columns=cols).cast(arrow_schema)
                          for p in f_files])
                     pdf = fr.to_pandas()
+                    gcols = (["url", "host", "status", "n_items"]
+                             if adaptive else ["url"])
+                    gpdf = None
                     if g_files:
-                        fetched = set()
-                        for p in g_files:
-                            fetched.update(
-                                pq.read_table(p, columns=["url"])
-                                .column(0).to_pylist())
-                        if fetched:
-                            pdf = pdf[~pdf["url"].isin(fetched)]
+                        gpdf = pa.concat_tables(
+                            [pq.read_table(p, columns=gcols)
+                             .cast(pa.schema(
+                                 [pa.field(c, pa.string()) if c in
+                                  ("url", "host", "status")
+                                  else pa.field(c, pa.int64())
+                                  for c in gcols]))
+                             for p in g_files]).to_pandas()
+                        if len(gpdf):
+                            pdf = pdf[~pdf["url"].isin(set(gpdf["url"]))]
                     if pdf.empty:
                         continue
-                    pdf = pdf.sort_values(["priority", "url"])
+                    if adaptive:
+                        # task-local host feedback: integer sums then
+                        # ONE float64 expression — bit-identical to the
+                        # window path's JVM arithmetic
+                        eff = pdf["priority"].to_numpy(dtype="float64")
+                        if gpdf is not None and len(gpdf):
+                            g = gpdf.groupby("host", sort=False).agg(
+                                _nf=("url", "size"),
+                                _nok=("status",
+                                      lambda s: int((s == "ok").sum())),
+                                _ni=("n_items", "sum"))
+                            nf = g["_nf"].to_numpy(dtype="float64")
+                            nok = g["_nok"].to_numpy(dtype="float64")
+                            ni = g["_ni"].to_numpy(dtype="float64")
+                            adj = (err_w * ((nf - nok) / nf)
+                                   - yld_w * np.minimum(
+                                       1.0, ni / np.maximum(nok, 1.0)))
+                            amap = dict(zip(g.index, adj))
+                            eff = eff + pdf["host"].map(amap) \
+                                .fillna(0.0).to_numpy(dtype="float64")
+                        pdf = pdf.assign(_eff=eff)
+                        pdf = pdf.sort_values(["_eff", "url"])
+                    else:
+                        pdf = pdf.sort_values(["priority", "url"])
                     pdf = pdf.groupby("host", sort=False).head(per_host)
                     pdf = pdf.head(budget)
                     yield pa.RecordBatch.from_pandas(
-                        pdf[cols], schema=arrow_schema,
+                        pdf[out_cols], schema=out_arrow,
                         preserve_index=False)
 
         spec = self.spark.createDataFrame([(b,) for b in buckets],
                                           "bucket long")
         n_parts = max(1, min(len(buckets), self.fetch_partitions))
         work = (spec.repartition(n_parts, "bucket")
-                .mapInArrow(kernel, FRONTIER_SCHEMA))
+                .mapInArrow(kernel, out_spark))
+        if adaptive:
+            return (work.orderBy("_eff", "url").limit(self.round_budget)
+                    .drop("_eff"))
         return work.orderBy("priority", "url").limit(self.round_budget)
 
     # ------------------------------------------------------------------ state
@@ -890,6 +949,20 @@ class CrawlEngine:
                 .repartition(n_parts, "_sid").drop("_sid")
                 .mapInArrow(flag, flag_schema))
 
+    def _adaptive_adj_expr(self):
+        """Per-host priority adjustment from cumulative fetch history
+        (columns _nf, _nok, _ni): positive for failing hosts (later),
+        negative for item-yielding hosts (earlier). Bounded in
+        [-yield_weight, +error_weight]; integer sums + one double
+        expression keep it bit-deterministic across dequeue paths."""
+        fail_rate = (F.col("_nf") - F.col("_nok")) / F.col("_nf")
+        yield_norm = F.least(
+            F.lit(1.0),
+            F.col("_ni") / F.greatest(F.col("_nok"), F.lit(1)))
+        return (F.lit(float(self.adaptive_error_weight)) * fail_rate
+                - F.lit(float(self.adaptive_yield_weight)) * yield_norm) \
+            .alias("_adj")
+
     def _robots_df(self):
         """Per-host robots.txt bodies — computed once per engine and
         cached (it is a tiny per-host table; rescanning pages per round
@@ -927,14 +1000,36 @@ class CrawlEngine:
             pending = frontier.join(fetched.select("url_hash", "url"),
                                     on=["url_hash", "url"], how="left_anti")
 
+            if self.adaptive_priority:
+                # per-host feedback from crawl history: one aggregation
+                # of the fetched table (already scanned for the
+                # anti-join), joined on host — co-partitioned with the
+                # ranking window below, so no extra exchange for the
+                # window itself
+                adj = (fetched.groupBy("host")
+                       .agg(F.count("*").alias("_nf"),
+                            F.sum(F.when(F.col("status") == "ok", 1)
+                                  .otherwise(0)).alias("_nok"),
+                            F.sum("n_items").alias("_ni"))
+                       .select("host", self._adaptive_adj_expr()))
+                pending = (pending.join(adj, "host", "left")
+                           .withColumn(
+                               "_eff",
+                               F.col("priority")
+                               + F.coalesce(F.col("_adj"), F.lit(0.0)))
+                           .drop("_adj"))
+            else:
+                pending = pending.withColumn("_eff", F.col("priority"))
+
             # per-host top-k dequeue, then global budget — explicit sorts
-            w = Window.partitionBy("host").orderBy("priority", "url")
+            w = Window.partitionBy("host").orderBy("_eff", "url")
             dequeued = (pending
                         .withColumn("_rank", F.row_number().over(w))
                         .filter(F.col("_rank") <= self.per_host_budget)
                         .drop("_rank")
-                        .orderBy("priority", "url")
-                        .limit(self.round_budget))
+                        .orderBy("_eff", "url")
+                        .limit(self.round_budget)
+                        .drop("_eff"))
 
         dequeued = dequeued.cache()
         n_dequeued = dequeued.count()

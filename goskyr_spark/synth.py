@@ -278,3 +278,33 @@ def event_scraper(host, subpage=False):
     yaml_text = (EVENT_SCRAPER_SUBPAGE_YAML if subpage
                  else EVENT_SCRAPER_YAML).format(host=host)
     return loads_config(yaml_text).scrapers[0]
+
+
+NO_MATCH_SCRAPER_YAML = """
+scrapers:
+  - name: junk
+    url: https://{host}
+    item: div.does-not-exist
+    fields:
+      - name: title
+        location:
+          selector: h2
+    paginator:
+      location: {{selector: a.next}}
+"""
+
+
+def no_match_scraper(host):
+    """A scraper whose item selector matches nothing — fetches succeed
+    and pagination still chains, but zero items come out (exercises
+    adaptive-priority scheduling)."""
+    from .config import loads_config
+
+    return loads_config(NO_MATCH_SCRAPER_YAML.format(host=host)).scrapers[0]
+
+
+def mixed_yield_factory(host, junk_hosts=frozenset()):
+    """event_scraper everywhere except junk_hosts (zero-yield). Use via
+    functools.partial so executors unpickle it by module reference."""
+    return (no_match_scraper(host) if host in junk_hosts
+            else event_scraper(host))
