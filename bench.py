@@ -210,7 +210,7 @@ def bench_queries(spark):
              "sim_ann_ivf", "sim_ann_ivf_probed",
              "sim_ivf_train", "sim_ann_ivf_trained",
              "txt_repetition", "txt_gopher_quality", "txt_c4_clean",
-             "curate_gopher",
+             "curate_gopher", "curate_corpus", "url_canonicalize",
              "mm_decode", "mm_resize", "mm_frames", "mm_audio",
              "curate_keep", "curate_decontaminate", "curate_split",
              "curate_token_budget"]
@@ -243,6 +243,11 @@ def main():
     # and REQUIRED to reproduce the window-mode crawl digest exactly
     crawl_bucketed = bench_crawl(spark, crawl_cores, digest=True,
                                  frontier_buckets=32)
+    # adaptive host priority: same crawl with the fetch-history feedback
+    # fold-in — measures the per-round host-aggregation overhead (the
+    # digest legitimately differs: scheduling changes by design)
+    crawl_adaptive = bench_crawl(spark, crawl_cores,
+                                 adaptive_priority=True)
     spark.stop()
     assert crawl_a["digest"] == crawl_b["digest"]
 
@@ -289,6 +294,7 @@ def main():
 
     per_query["crawl_full"] = round(crawl_big["wall"], 3)
     per_query["crawl_bucketed"] = round(crawl_bucketed["wall"], 3)
+    per_query["crawl_adaptive"] = round(crawl_adaptive["wall"], 3)
     per_query["extract_pipeline"] = round(extract_big["wall"], 3)
     out = {
         "metric": "crawl_urls_per_sec",
@@ -303,6 +309,9 @@ def main():
             for k, v in crawl_bucketed.items()},
         "bucketed_digest_identical":
             crawl_bucketed.get("digest") == crawl_big.get("digest"),
+        "crawl_adaptive": {
+            k: round(v, 3) if isinstance(v, float) else v
+            for k, v in crawl_adaptive.items()},
         "extract_rows_per_sec": round(extract_big["rows_per_sec"], 2),
         "scaling": scaling,
     }

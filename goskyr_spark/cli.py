@@ -144,7 +144,8 @@ def cmd_crawl(args):
                       now=datetime(2026, 3, 1, tzinfo=timezone.utc),
                       live_fetcher=live_fetcher,
                       frontier_buckets=args.buckets or None,
-                      adaptive_priority=args.adaptive)
+                      adaptive_priority=args.adaptive,
+                      canonicalize_outlinks=args.canonicalize)
     for s in eng.run(max_rounds=args.max_rounds):
         print(s)
     return 0
@@ -218,6 +219,9 @@ def main(argv=None):
     pc.add_argument("--buckets", type=int, default=0,
                     help="host-hash-bucket the frontier into N buckets "
                          "(shuffle-free dequeue; 0 = window dequeue)")
+    pc.add_argument("--canonicalize", action="store_true",
+                    help="RFC 3986-normalize outlinks and seeds before "
+                         "the seen-set test (frontier hygiene)")
     pc.add_argument("--adaptive", action="store_true",
                     help="adaptive host priority: schedule item-yielding"
                          " hosts earlier, failing hosts later (feedback "

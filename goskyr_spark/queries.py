@@ -617,6 +617,34 @@ def q_txt_c4_clean(spark, sf_dir):
                          min_kept_lines=2)
 
 
+def q_url_canonicalize(spark, sf_dir):
+    """RFC 3986 syntax-based URL normalization (ops/urlnorm.py) over
+    messy URLs synthesized deterministically from doc_id — uppercase
+    scheme/host, default ports, dot segments, fragments. The oracle
+    builds the IDENTICAL messy strings and applies the identical
+    normalization pass sequence."""
+    from .ops.urlnorm import url_normalize_expr
+
+    d = F.col("doc_id")
+    scheme = F.when(d % 3 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    host = F.concat(F.lit("WWW.Example"), (d % 7).cast("string"),
+                    F.lit(".COM"))
+    port = F.when(d % 4 == 0, F.lit(":80")) \
+        .when(d % 4 == 1, F.lit(":443")) \
+        .when(d % 4 == 2, F.lit(":8080")).otherwise(F.lit(""))
+    path = F.when(d % 5 == 0, F.lit("/x/./y/../z")) \
+        .when(d % 5 == 1, F.lit("/a/b/../../c/")) \
+        .when(d % 5 == 2, F.lit("")) \
+        .when(d % 5 == 3, F.lit("/p/q")).otherwise(F.lit("/./../x"))
+    tail = F.when(d % 2 == 0, F.lit("?B=1&a=2#frag")) \
+        .otherwise(F.lit("#sec"))
+    url = F.concat(scheme, F.lit("://"), host, port, path, tail)
+    return (documents(spark, sf_dir)
+            .select(d.alias("doc_id"), url.alias("url"))
+            .withColumn("url_norm", url_normalize_expr(F.col("url")))
+            .orderBy("doc_id"))
+
+
 def q_curate_corpus(spark, sf_dir):
     """The full corpus-curation pipeline a training-data team ships,
     end to end in one query: Gopher repetition+quality gate (in-scan
@@ -1455,6 +1483,29 @@ ORACLES_OPS["curate_gopher"] = f"""
                 THEN 1 ELSE 0 END AS BIGINT) AS keep
     FROM rep JOIN q USING (doc_id) ORDER BY doc_id"""
 
+def _url_canonicalize_oracle():
+    from .ops.urlnorm import oracle_sql_expr
+
+    messy = """(
+      (CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'https' END)
+      || '://' || 'WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+      || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+               WHEN doc_id % 4 = 1 THEN ':443'
+               WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
+      || (CASE WHEN doc_id % 5 = 0 THEN '/x/./y/../z'
+               WHEN doc_id % 5 = 1 THEN '/a/b/../../c/'
+               WHEN doc_id % 5 = 2 THEN ''
+               WHEN doc_id % 5 = 3 THEN '/p/q' ELSE '/./../x' END)
+      || (CASE WHEN doc_id % 2 = 0 THEN '?B=1&a=2#frag'
+               ELSE '#sec' END))"""
+    return f"""
+    SELECT doc_id, url, {oracle_sql_expr('url')} AS url_norm
+    FROM (SELECT doc_id, {messy} AS url FROM documents)
+    ORDER BY doc_id"""
+
+
+ORACLES_OPS["url_canonicalize"] = _url_canonicalize_oracle()
+
 ORACLES_OPS["curate_corpus"] = f"""
     WITH g AS ({ORACLES_OPS['curate_gopher']}),
     d AS ({ORACLES_OPS['curate_decontaminate']}),
@@ -1582,6 +1633,7 @@ def all_queries():
         "txt_repetition": q_txt_repetition,
         "txt_gopher_quality": q_txt_gopher_quality,
         "txt_c4_clean": q_txt_c4_clean,
+        "url_canonicalize": q_url_canonicalize,
         "curate_gopher": q_curate_gopher,
         "curate_corpus": q_curate_corpus,
         "curate_keep": q_curate_keep,

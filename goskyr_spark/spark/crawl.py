@@ -215,7 +215,8 @@ class CrawlEngine:
                  seen_broadcast_max_bytes=64 << 20, debug=False,
                  live_fetcher=None, compact_every=None,
                  frontier_buckets=None, adaptive_priority=False,
-                 adaptive_yield_weight=0.5, adaptive_error_weight=2.0):
+                 adaptive_yield_weight=0.5, adaptive_error_weight=2.0,
+                 canonicalize_outlinks=False):
         assert n_slabs & (n_slabs - 1) == 0, "n_slabs must be a power of two"
         self.spark = spark
         self.store = SnapshotStore(workdir)
@@ -285,6 +286,23 @@ class CrawlEngine:
         self.adaptive_priority = adaptive_priority
         self.adaptive_yield_weight = adaptive_yield_weight
         self.adaptive_error_weight = adaptive_error_weight
+        # canonicalize_outlinks=True applies RFC 3986 syntax-based
+        # normalization (ops/urlnorm.py — lowercase scheme/host, default
+        # ports, dot segments, fragments) to every outlink AND seed
+        # before the seen-set test, merging trivially-distinct spellings
+        # of the same resource — frontier hygiene at the 10^10 design
+        # point. Opt-in: goskyr's own URL-join output is the reference
+        # identity, so normalization changes crawl digests by design.
+        self.canonicalize_outlinks = canonicalize_outlinks
+        if canonicalize_outlinks:
+            from ..ops.urlnorm import url_normalize_expr
+
+            sdf = spark.createDataFrame([(s,) for s in self.seeds],
+                                        "url string")
+            self.seeds = sorted({
+                r["url"] for r in sdf.select(
+                    url_normalize_expr(F.col("url")).alias("url"))
+                .collect()})
         # one schema for all hosts: factory must produce field-compatible
         # scrapers (heterogeneous configs get engine instances per config)
         self._proto = scraper_factory("proto.invalid")
@@ -1306,8 +1324,13 @@ class CrawlEngine:
         dequeued.unpersist()
 
         # --- outlinks → seen-set → new frontier rows
+        out_url = F.col("_outlink")
+        if self.canonicalize_outlinks:
+            from ..ops.urlnorm import url_normalize_expr
+
+            out_url = url_normalize_expr(out_url)
         outlinks = (result.filter("_kind = 'outlink'")
-                    .select(F.col("_outlink").alias("url"),
+                    .select(out_url.alias("url"),
                             (F.col("_depth") + 1).alias("depth"),
                             F.col("_page_no").alias("page_no"))
                     .groupBy("url").agg(F.min("depth").alias("depth"),
