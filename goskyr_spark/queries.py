@@ -332,6 +332,17 @@ def q_dedup_components(spark, sf_dir):
     return dup_components(pairs)
 
 
+def q_dedup_components_capped(spark, sf_dir):
+    """Keeper election over the df-CAPPED jaccard pair generator — the
+    production path at web scale (the cap bounds the per-shingle join
+    cost; see dedup_jaccard_capped). Same label-propagation components."""
+    from .ops.dedup import dup_components, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(documents(spark, sf_dir), threshold=0.2,
+                                max_df=3)
+    return dup_components(pairs)
+
+
 def q_dedup_simhash(spark, sf_dir):
     from .ops.dedup import simhash16
 
@@ -928,6 +939,18 @@ ORACLES_OPS["dedup_minhash_lsh_capped"] = _minhash_oracle(max_bucket=2)
 # converges to
 ORACLES_OPS["dedup_components"] = f"""
     WITH RECURSIVE pairs AS ({ORACLES_OPS['dedup_jaccard']}),
+    e AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    reach(n, m) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN e ON e.a = r.m)
+    SELECT n AS doc_id, min(m) AS component
+    FROM reach GROUP BY n ORDER BY doc_id"""
+
+
+ORACLES_OPS["dedup_components_capped"] = f"""
+    WITH RECURSIVE pairs AS ({ORACLES_OPS['dedup_jaccard_capped']}),
     e AS (SELECT id_a AS a, id_b AS b FROM pairs
           UNION SELECT id_b, id_a FROM pairs),
     reach(n, m) AS (
@@ -1606,6 +1629,7 @@ def all_queries():
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_capped": q_dedup_jaccard_capped,
         "dedup_components": q_dedup_components,
+        "dedup_components_capped": q_dedup_components_capped,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
         "txt_tokens": q_txt_tokens,

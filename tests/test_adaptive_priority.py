@@ -32,7 +32,8 @@ def spark():
 
 @pytest.fixture(scope="module")
 def pages(spark):
-    spec = SynthSpec(n_hosts=3, pages_per_host=4, items_per_page=2)
+    spec = SynthSpec(n_hosts=3, pages_per_host=4, items_per_page=2,
+                     hot_hosts=0)
     df = synth_pages_df(spark, spec, include_fixtures=False).cache()
     df.count()
     return df
@@ -45,7 +46,7 @@ def run_crawl(spark, pages, wd, **kw):
     eng = CrawlEngine(spark, str(wd), pages, mixed_factory, seeds,
                       now=NOW, per_host_budget=1, round_budget=2,
                       fetch_partitions=4, adaptive_yield_weight=2.0, **kw)
-    eng.run(max_rounds=80)
+    eng.run(max_rounds=40)
     rows = (eng.t_fetched.read(spark)
             .orderBy("round", "fetch_seq").collect())
     fetch_order = [(r["round"], r["fetch_seq"], r["url"], r["status"])
@@ -77,8 +78,8 @@ def test_adaptive_demotes_zero_yield_host(spark, pages, tmp_path):
     assert ja[f"https://{JUNK_HOST}/list/2"] > \
         jb[f"https://{JUNK_HOST}/list/2"]
     # promotion: host0002's work moves earlier in aggregate (host0000
-    # is the hot host and the crawl's long pole — its aggregate shifts
-    # only marginally, so it is not a clean promotion signal)
+    # wins most url-order ties already in the baseline, so its shift is
+    # marginal and not a clean promotion signal)
     pb, pa = rounds_of(base, host_name(2)), rounds_of(adap, host_name(2))
     assert sum(pa.values()) < sum(pb.values())
 
