@@ -106,3 +106,37 @@ def keep_list(documents, min_quality=0.5, lang="en", threshold=0.2):
                        | (F.col("component") == F.col("doc_id"))))
             .select("doc_id", "quality", "lang_pred")
             .orderBy("doc_id"))
+
+
+def mixture_weights(documents, group_col="source", text_col="text",
+                    budget_tokens=1_000_000):
+    """Temperature-based domain-mixing weights (alpha=0.5, i.e. sqrt
+    sampling — the standard multinomial-temperature scheme from
+    multilingual/mixture pre-training, e.g. arXiv:1901.07291 §3.1):
+    weight_s = sqrt(tokens_s) / sum_s sqrt(tokens_s), and the per-source
+    token quota for a target budget. sqrt (not pow) keeps the float
+    math bit-identical in the DuckDB oracle.
+
+    Scale: one documents scan -> map-side partial agg to one row per
+    source; the normalizing sum is a single-row aggregate cross-joined
+    back (sources are few by definition)."""
+    from .text import bpe_real_count_expr
+
+    per = (documents.select(
+               F.col(group_col),
+               bpe_real_count_expr(text_col).alias("_n_toks"))
+           .groupBy(group_col)
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("_n_toks").alias("n_tokens")))
+    total = per.agg(F.sum(F.sqrt(F.col("n_tokens"))).alias("_z"))
+    return (per.crossJoin(F.broadcast(total))
+            .withColumn("weight",
+                        F.round(F.sqrt(F.col("n_tokens")) / F.col("_z"),
+                                6))
+            .withColumn("quota_tokens",
+                        F.round(F.sqrt(F.col("n_tokens")) / F.col("_z")
+                                * F.lit(float(budget_tokens)))
+                        .cast("long"))
+            .select(group_col, "n_docs", "n_tokens", "weight",
+                    "quota_tokens")
+            .orderBy(group_col))

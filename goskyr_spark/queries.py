@@ -628,6 +628,15 @@ def q_txt_c4_clean(spark, sf_dir):
                          min_kept_lines=2)
 
 
+def q_curate_mixture(spark, sf_dir):
+    """Temperature (sqrt) domain-mixing weights + per-source token
+    quotas for a 1M-token budget — the data-mixing step of a training
+    pipeline (ops/curate.py:mixture_weights)."""
+    from .ops.curate import mixture_weights
+
+    return mixture_weights(documents(spark, sf_dir))
+
+
 def q_url_canonicalize(spark, sf_dir):
     """RFC 3986 syntax-based URL normalization (ops/urlnorm.py) over
     messy URLs synthesized deterministically from doc_id — uppercase
@@ -1529,6 +1538,20 @@ def _url_canonicalize_oracle():
 
 ORACLES_OPS["url_canonicalize"] = _url_canonicalize_oracle()
 
+ORACLES_OPS["curate_mixture"] = f"""
+    WITH per AS (
+      SELECT d.source AS source, count(*) AS n_docs,
+             CAST(sum(t.n_bpe_tokens) AS BIGINT) AS n_tokens
+      FROM documents d JOIN ({ORACLES_OPS['txt_bpe_real']}) t
+        USING (doc_id)
+      GROUP BY 1),
+    z AS (SELECT sum(sqrt(n_tokens)) AS z FROM per)
+    SELECT source, n_docs, n_tokens,
+           round(sqrt(n_tokens) / z, 6) AS weight,
+           CAST(round(sqrt(n_tokens) / z * 1000000.0) AS BIGINT)
+               AS quota_tokens
+    FROM per, z ORDER BY source"""
+
 ORACLES_OPS["curate_corpus"] = f"""
     WITH g AS ({ORACLES_OPS['curate_gopher']}),
     d AS ({ORACLES_OPS['curate_decontaminate']}),
@@ -1664,6 +1687,7 @@ def all_queries():
         "curate_decontaminate": q_curate_decontaminate,
         "curate_split": q_curate_split,
         "curate_token_budget": q_curate_token_budget,
+        "curate_mixture": q_curate_mixture,
         "crawl_mock_items": q_crawl_mock_items,
         "crawl_round": q_crawl_round,
     }
