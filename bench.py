@@ -210,6 +210,7 @@ def bench_queries(spark):
              "sim_ann_lsh_multi", "sim_ann_lsh_probed",
              "sim_ann_ivf", "sim_ann_ivf_probed",
              "sim_ivf_train", "sim_ann_ivf_trained",
+             "sim_pq_train", "sim_ann_pq", "sim_ann_pq_rerank",
              "txt_repetition", "txt_gopher_quality", "txt_c4_clean",
              "curate_gopher", "curate_corpus", "url_canonicalize",
              "mm_decode", "mm_resize", "mm_frames", "mm_audio",

