@@ -240,12 +240,19 @@ def dup_components(pairs, id_a="id_a", id_b="id_b", max_iter=50):
     labels are integer mins."""
     edges = pairs.select(F.col(id_a).alias("src"),
                          F.col(id_b).alias("dst"))
+    # localCheckpoint (not cache): an iterative plan that only CACHES
+    # still nests the full upstream plan into every iteration's logical
+    # tree — the tree doubles per round and a few rounds after a heavy
+    # pair generator the driver OOMs just RENDERING it. Checkpointing
+    # truncates the lineage so each round's plan is O(one iteration).
+    # (On a real cluster prefer spark.sparkContext.setCheckpointDir +
+    # .checkpoint() for executor-loss resilience; same semantics.)
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"),
-                     F.col("src").alias("dst"))).cache()
+                     F.col("src").alias("dst"))).localCheckpoint()
     labels = (sym.select(F.col("src").alias("node"))
               .distinct()
-              .withColumn("component", F.col("node"))).cache()
+              .withColumn("component", F.col("node"))).localCheckpoint()
     for _ in range(max_iter):
         prop = (sym.join(labels, sym["dst"] == labels["node"])
                 .groupBy("src")
@@ -256,15 +263,13 @@ def dup_components(pairs, id_a="id_a", id_b="id_b", max_iter=50):
                               F.least(F.col("component"),
                                       F.coalesce(F.col("nbr_min"),
                                                  F.col("component")))
-                              .alias("component"))).cache()
+                              .alias("component")).localCheckpoint())
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .filter("n.component != o.component").count())
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    sym.unpersist()
     return labels.select(F.col("node").alias("doc_id"), "component") \
         .orderBy("doc_id")
 
