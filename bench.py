@@ -215,7 +215,7 @@ def bench_queries(spark):
              "curate_gopher", "curate_corpus", "url_canonicalize",
              "mm_decode", "mm_resize", "mm_frames", "mm_audio",
              "curate_keep", "curate_decontaminate", "curate_split",
-             "curate_mixture",
+             "curate_mixture", "warc_roundtrip",
              "curate_token_budget"]
     qs = all_queries()
     out = {}

@@ -703,6 +703,42 @@ def q_url_canonicalize(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC container round trip (io/warc.py — the Common Crawl page
+    format): documents → HTTP response records → WARC blobs (8 files,
+    built per-group in applyInPandas) → parsed back by the same kernel
+    the binaryFile source uses (mapInPandas). The oracle states the
+    expected parse output directly from documents."""
+    import pandas as pd
+
+    from .io.warc import build_http_response, parse_warc, write_warc
+
+    docs = (documents(spark, sf_dir).select("doc_id", "text")
+            .withColumn("_g", F.col("doc_id") % 8))
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        recs = [(f"https://doc{int(d)}.test/",
+                 build_http_response(str(t).encode("utf-8")))
+                for d, t in sorted(zip(pdf["doc_id"], pdf["text"]))]
+        return pd.DataFrame({"blob": [write_warc(recs)]})
+
+    warcs = docs.groupBy("_g").applyInPandas(build, "blob binary")
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["blob"]:
+                for uri, status, body in parse_warc(bytes(blob)):
+                    rows.append((uri, status,
+                                 len(body.decode("utf-8", "replace"))))
+            yield pd.DataFrame(
+                rows, columns=["url", "http_status", "n_chars"])
+
+    return (warcs.mapInPandas(
+                parse, "url string, http_status long, n_chars long")
+            .orderBy("url"))
+
+
 def q_curate_corpus(spark, sf_dir):
     """The full corpus-curation pipeline a training-data team ships,
     end to end in one query: Gopher repetition+quality gate (in-scan
@@ -1682,6 +1718,12 @@ def _url_canonicalize_oracle():
 
 ORACLES_OPS["url_canonicalize"] = _url_canonicalize_oracle()
 
+ORACLES_OPS["warc_roundtrip"] = """
+    SELECT 'https://doc' || CAST(doc_id AS VARCHAR) || '.test/' AS url,
+           CAST(200 AS BIGINT) AS http_status,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents ORDER BY url"""
+
 ORACLES_OPS["curate_mixture"] = f"""
     WITH per AS (
       SELECT d.source AS source, count(*) AS n_docs,
@@ -1828,6 +1870,7 @@ def all_queries():
         "txt_gopher_quality": q_txt_gopher_quality,
         "txt_c4_clean": q_txt_c4_clean,
         "url_canonicalize": q_url_canonicalize,
+        "warc_roundtrip": q_warc_roundtrip,
         "curate_gopher": q_curate_gopher,
         "curate_corpus": q_curate_corpus,
         "curate_keep": q_curate_keep,

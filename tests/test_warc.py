@@ -1,0 +1,88 @@
+"""WARC container format (io/warc.py): byte-level round trip,
+malformed-record resilience, and the Spark binaryFile source feeding
+the extraction pipeline end to end."""
+
+import pytest
+
+from goskyr_spark.io.warc import (build_http_response, parse_warc,
+                                  read_warc_pages, write_warc)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from goskyr_spark.spark.session import get_spark
+
+    return get_spark(app="warc-tests", master="local[2]",
+                     shuffle_partitions=2)
+
+
+def test_roundtrip_bytes():
+    recs = [("https://a.test/x", build_http_response(b"<html>A</html>")),
+            ("https://b.test/y", build_http_response(b"B", status=404))]
+    parsed = list(parse_warc(write_warc(recs)))
+    assert parsed == [("https://a.test/x", 200, b"<html>A</html>"),
+                      ("https://b.test/y", 404, b"B")]
+
+
+def test_non_response_records_ignored():
+    data = write_warc([("https://a.test/", build_http_response(b"ok"))])
+    warcinfo = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+                b"Content-Length: 4\r\n\r\ninfo\r\n\r\n")
+    parsed = list(parse_warc(warcinfo + data))
+    assert [u for u, *_ in parsed] == ["https://a.test/"]
+
+
+def test_malformed_record_skipped_not_fatal():
+    good = write_warc([("https://a.test/", build_http_response(b"A")),
+                       ("https://b.test/", build_http_response(b"B"))])
+    # corrupt garbage between two valid records: the parser resyncs on
+    # the next record marker instead of dying
+    first_end = good.find(b"\r\n\r\nWARC/") + 4
+    corrupted = good[:first_end] + b"GARBAGE NO HEADERS" + \
+        b"\r\n\r\n" + good[first_end:]
+    parsed = list(parse_warc(corrupted))
+    assert [u for u, *_ in parsed] == ["https://a.test/",
+                                       "https://b.test/"]
+
+
+def test_bad_content_length_skipped():
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://x.test/\r\n"
+           b"Content-Length: notanumber\r\n\r\n")
+    good = write_warc([("https://a.test/", build_http_response(b"A"))])
+    parsed = list(parse_warc(bad + good))
+    assert [u for u, *_ in parsed] == ["https://a.test/"]
+
+
+def test_http_without_status_line():
+    raw = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://r.test/\r\n"
+           b"Content-Length: 8\r\n\r\nrawbytes\r\n\r\n")
+    assert list(parse_warc(raw)) == [("https://r.test/", 0, b"rawbytes")]
+
+
+def test_spark_source_to_extraction(spark, tmp_path):
+    """A .warc file on disk → read_warc_pages → extract_stage1 with the
+    event scraper: items come out exactly as from a plain pages table."""
+    from goskyr_spark.spark.pipeline import extract_stage1
+    from goskyr_spark.synth import SynthSpec, event_scraper, host_name
+
+    spec = SynthSpec(n_hosts=1, pages_per_host=1, items_per_page=3,
+                     hot_hosts=0)
+    recs = []
+    for rid in range(spec.total_rows):
+        r = spec.row(rid)
+        if "/list/" in r["url"]:
+            recs.append((r["url"], build_http_response(r["html"])))
+    wpath = tmp_path / "pages.warc"
+    wpath.write_bytes(write_warc(recs))
+
+    pages = read_warc_pages(spark, str(wpath))
+    rows = pages.collect()
+    assert len(rows) == len(recs)
+    assert all(r["http_status"] == 200 for r in rows)
+
+    scraper = event_scraper(host_name(0))
+    items = (extract_stage1(pages.select("url", "html"), scraper)
+             .filter("item_idx >= 0"))
+    assert items.count() == 3
