@@ -12,10 +12,10 @@ a WARC file is a sequence of records, each
     \r\n\r\n
 
 ``response`` records carry an HTTP response message (status line +
-headers + body) as their block. No gzip handling here — Common Crawl's
-per-record gzip members would decompress upstream of this parser
-(Python gzip can't split concatenated members lazily without reading;
-at scale the split belongs in the file source).
+headers + body) as their block. ``.warc.gz`` inputs are the Common
+Crawl shipping form — one gzip MEMBER per record, concatenated;
+``gunzip_members`` walks the members with zlib so the stream splits
+without any record-boundary guessing.
 
 Scale design: parsing is pure per-blob Python driven by
 ``mapInPandas`` over Spark's ``binaryFile`` source — one task per WARC
@@ -111,10 +111,41 @@ def parse_warc(data: bytes):
         yield uri.decode("utf-8", "replace"), status, body
 
 
+def gunzip_members(data: bytes) -> bytes:
+    """Decompress CONCATENATED gzip members (the .warc.gz layout: one
+    member per record) into one plain byte stream. A truncated or
+    corrupt trailing member yields what decompressed cleanly before it
+    — same never-fatal stance as parse_warc."""
+    import zlib
+
+    out = []
+    while data:
+        d = zlib.decompressobj(wbits=31)      # 31 = gzip wrapper
+        try:
+            out.append(d.decompress(data))
+            out.append(d.flush())
+        except zlib.error:
+            break
+        if not d.eof:                          # truncated member
+            break
+        data = d.unused_data
+    return b"".join(out)
+
+
+def write_warc_gz(records) -> bytes:
+    """records → .warc.gz bytes, one gzip member per record (the
+    Common Crawl layout: members are independently seekable)."""
+    import gzip
+
+    return b"".join(
+        gzip.compress(write_warc([rec]), mtime=0) for rec in records)
+
+
 def read_warc_pages(spark, path, encoding="utf-8"):
-    """Spark source: directory/glob of .warc files → pages DataFrame
-    (warc_file, url, http_status, html). One task per file via the
-    binaryFile source; the parse runs Arrow-batched in mapInPandas."""
+    """Spark source: directory/glob of .warc / .warc.gz files → pages
+    DataFrame (warc_file, url, http_status, html). One task per file
+    via the binaryFile source; the parse (and per-member gunzip for
+    .gz) runs Arrow-batched in mapInPandas."""
     from pyspark.sql import functions as F
 
     raw = (spark.read.format("binaryFile")
@@ -127,7 +158,10 @@ def read_warc_pages(spark, path, encoding="utf-8"):
         for pdf in batches:
             rows = []
             for path_, blob in zip(pdf["warc_file"], pdf["content"]):
-                for uri, status, body in parse_warc(bytes(blob)):
+                data = bytes(blob)
+                if data[:2] == b"\x1f\x8b":    # gzip magic
+                    data = gunzip_members(data)
+                for uri, status, body in parse_warc(data):
                     rows.append((path_, uri, status,
                                  body.decode(encoding, "replace")))
             yield pd.DataFrame(

@@ -86,3 +86,38 @@ def test_spark_source_to_extraction(spark, tmp_path):
     items = (extract_stage1(pages.select("url", "html"), scraper)
              .filter("item_idx >= 0"))
     assert items.count() == 3
+
+
+def test_gzip_members_roundtrip():
+    from goskyr_spark.io.warc import gunzip_members, write_warc_gz
+
+    recs = [("https://a.test/", build_http_response(b"AAA")),
+            ("https://b.test/", build_http_response(b"BBB"))]
+    gz = write_warc_gz(recs)
+    assert gz[:2] == b"\x1f\x8b"
+    parsed = list(parse_warc(gunzip_members(gz)))
+    assert [u for u, *_ in parsed] == ["https://a.test/",
+                                       "https://b.test/"]
+
+
+def test_gzip_truncated_member_not_fatal():
+    from goskyr_spark.io.warc import gunzip_members, write_warc_gz
+
+    recs = [("https://a.test/", build_http_response(b"AAA")),
+            ("https://b.test/", build_http_response(b"BBB"))]
+    gz = write_warc_gz(recs)
+    # cut inside the SECOND member: first record survives
+    first_len = len(write_warc_gz(recs[:1]))
+    parsed = list(parse_warc(gunzip_members(gz[:first_len + 10])))
+    assert [u for u, *_ in parsed] == ["https://a.test/"]
+
+
+def test_spark_source_reads_warc_gz(spark, tmp_path):
+    from goskyr_spark.io.warc import write_warc_gz
+
+    recs = [(f"https://h.test/p{i}", build_http_response(
+        f"<html>{i}</html>".encode())) for i in range(5)]
+    (tmp_path / "a.warc.gz").write_bytes(write_warc_gz(recs))
+    rows = read_warc_pages(spark, str(tmp_path / "a.warc.gz")).collect()
+    assert sorted(r["url"] for r in rows) == sorted(u for u, _ in recs)
+    assert all(r["html"].startswith("<html>") for r in rows)
