@@ -31,6 +31,15 @@ def main():
                    help="host-hash frontier buckets (shuffle-free "
                         "dequeue); 0 = window dequeue. Size so one "
                         "bucket's pending rows fit an executor task.")
+    p.add_argument("--adaptive", action="store_true",
+                   help="adaptive host priority (item-yield/failure "
+                        "feedback from crawl history)")
+    p.add_argument("--canonicalize", action="store_true",
+                   help="RFC 3986-normalize outlinks + seeds before "
+                        "the seen-set test")
+    p.add_argument("--warc", default="",
+                   help="read pages from .warc/.warc.gz files at this "
+                        "path instead of --pages parquet")
     args = p.parse_args()
 
     spark = (SparkSession.builder.appName("goskyr-crawl")
@@ -43,7 +52,16 @@ def main():
     from goskyr_spark.synth import SynthSpec, event_scraper, host_name, \
         synth_pages_df
 
-    if args.pages:
+    if args.warc:
+        from goskyr_spark.io.warc import read_warc_pages
+
+        pages = read_warc_pages(spark, args.warc).select("url", "html")
+        if args.seeds:
+            seeds = [ln.strip() for ln in open(args.seeds) if ln.strip()]
+        else:
+            seeds = [r["url"] for r in
+                     pages.select("url").orderBy("url").limit(100).collect()]
+    elif args.pages:
         pages = spark.read.parquet(args.pages)
         if args.seeds:
             seeds = [ln.strip() for ln in open(args.seeds) if ln.strip()]
@@ -60,6 +78,8 @@ def main():
                       round_budget=args.round_budget,
                       per_host_budget=args.per_host_budget,
                       frontier_buckets=args.buckets or None,
+                      adaptive_priority=args.adaptive,
+                      canonicalize_outlinks=args.canonicalize,
                       compact_every=16,
                       now=datetime(2026, 3, 1, tzinfo=timezone.utc))
     for s in eng.run(max_rounds=args.max_rounds):

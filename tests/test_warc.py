@@ -121,3 +121,33 @@ def test_spark_source_reads_warc_gz(spark, tmp_path):
     rows = read_warc_pages(spark, str(tmp_path / "a.warc.gz")).collect()
     assert sorted(r["url"] for r in rows) == sorted(u for u, _ in recs)
     assert all(r["html"].startswith("<html>") for r in rows)
+
+
+def test_crawl_engine_from_warc_source(spark, tmp_path):
+    """Full circle: a .warc.gz archive is the crawl's page source —
+    read_warc_pages feeds CrawlEngine exactly like a parquet pages
+    table (the scripts/crawl_job.py --warc path)."""
+    from datetime import datetime, timezone
+
+    from goskyr_spark.io.warc import write_warc_gz
+    from goskyr_spark.spark.crawl import CrawlEngine
+    from goskyr_spark.synth import SynthSpec, event_scraper, host_name
+
+    spec = SynthSpec(n_hosts=1, pages_per_host=2, items_per_page=2,
+                     hot_hosts=0)
+    recs = []
+    for rid in range(spec.total_rows):
+        r = spec.row(rid)
+        recs.append((r["url"], build_http_response(r["html"])))
+    (tmp_path / "web.warc.gz").write_bytes(write_warc_gz(recs))
+
+    pages = read_warc_pages(spark, str(tmp_path / "web.warc.gz")) \
+        .select("url", "html")
+    eng = CrawlEngine(spark, str(tmp_path / "wd"), pages, event_scraper,
+                      [f"https://{host_name(0)}/list/1"],
+                      now=datetime(2026, 3, 1, tzinfo=timezone.utc),
+                      fetch_partitions=2)
+    eng.run(max_rounds=10)
+    fetched = eng.t_fetched.read(spark).collect()
+    assert sum(r["status"] == "ok" for r in fetched) >= 2   # both lists
+    assert sum(r["n_items"] for r in fetched) == 4
