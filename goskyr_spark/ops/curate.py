@@ -6,9 +6,10 @@ text-analysis and dedup operator families.
 Scale: quality/langid are bare column expressions computed in ONE pass
 over the documents scan (not a join of three per-op derivatives of the
 same table, which would shuffle the corpus twice); the component table
-only contains docs that appear in ANY near-dup pair (tiny relative to
-the corpus → broadcast join); the keep decision is a filter, never a
-shuffle of the corpus."""
+only contains docs that appear in ANY near-dup pair — at web-data dup
+rates that can be a large fraction of the corpus, so the keeper join is
+a PLAIN join (AQE broadcasts at runtime when it fits; never a forced
+hint); the keep decision is a filter, never a shuffle of the corpus."""
 
 from __future__ import annotations
 
@@ -82,15 +83,26 @@ def token_budget(documents, group_col="source", text_col="text",
             .orderBy(group_col))
 
 
-def keep_list(documents, min_quality=0.5, lang="en", threshold=0.2):
+def keep_list(documents, min_quality=0.5, lang="en", threshold=0.2,
+              max_df=512):
     """Docs worth training on: quality ≥ min_quality, language == lang,
     and either not near-duplicated or the elected keeper (component id
-    == own id) of their dup class."""
+    == own id) of their dup class.
+
+    Scale: the near-dup pair generator runs the df-CAPPED jaccard path
+    by default (``max_df`` bounds the per-shingle join cost — the
+    production guard; pass ``max_df=None`` for the exact uncapped
+    semantics). The keeper join carries NO broadcast hint: at web-data
+    dup rates (30-50% of documents) the component table is billions of
+    rows, so a forced broadcast is an executor/driver OOM — AQE picks
+    broadcast at runtime when the table actually fits, and falls back
+    to a shuffle join when it doesn't."""
     from .dedup import dup_components, ngram_jaccard_pairs
     from .text import lang_pred_expr, quality_expr
 
     comp = dup_components(
-        ngram_jaccard_pairs(documents, threshold=threshold))
+        ngram_jaccard_pairs(documents, threshold=threshold,
+                            max_df=max_df))
     # quality + language are bare column expressions over the SAME
     # documents scan — one pass, no self-joins (a 3-way join of three
     # derivatives of the same table would shuffle the corpus twice)
@@ -99,7 +111,7 @@ def keep_list(documents, min_quality=0.5, lang="en", threshold=0.2):
         quality_expr().alias("quality"),
         lang_pred_expr().alias("lang_pred"))
     return (scored
-            .join(F.broadcast(comp), "doc_id", "left")
+            .join(comp, "doc_id", "left")
             .filter((F.col("quality") >= min_quality)
                     & (F.col("lang_pred") == lang)
                     & (F.col("component").isNull()

@@ -270,6 +270,18 @@ def dup_components(pairs, id_a="id_a", id_b="id_b", max_iter=50):
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # a dup chain with diameter > max_iter is plausible at web
+        # scale; silently returning partially-converged labels would
+        # corrupt keeper election with no signal
+        import warnings
+
+        warnings.warn(
+            f"dup_components: min-label propagation did not converge "
+            f"within max_iter={max_iter} rounds ({changed} labels still "
+            f"changing) — component ids are NOT a fixpoint; raise "
+            f"max_iter or pre-split giant components",
+            RuntimeWarning, stacklevel=2)
     return labels.select(F.col("node").alias("doc_id"), "component") \
         .orderBy("doc_id")
 

@@ -159,16 +159,32 @@ def test_bucketed_dequeue_no_pending_shuffle(spark, tmp_path):
 
 def test_curate_keep_single_corpus_pass(spark):
     """The curation keep-list computes quality + language as column
-    expressions over ONE documents pass and broadcasts the (tiny)
-    keeper table — no sort-merge self-join of corpus derivatives."""
+    expressions over ONE documents pass, and the keeper join carries NO
+    forced broadcast hint (a web-scale component table force-broadcast
+    is an executor/driver OOM) — AQE picks broadcast at runtime at this
+    tiny scale. The keeper table itself is localCheckpoint'ed by label
+    propagation, so it enters the plan as an RDD scan, never a second
+    corpus scan."""
     from goskyr_spark.ops.curate import keep_list
     from goskyr_spark.queries import documents
 
     df = keep_list(documents(spark, SF_DIR))
+    # no forced join-strategy hint anywhere in the analyzed plan
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    # exactly one corpus scan in the live plan (node headers appear
+    # once in the details section as "(N) Scan parquet")
     plan = _plan(df)
-    # the keeper table is cached (label propagation already executed);
-    # judge the LIVE plan — everything above the InMemoryRelation dump
-    live = plan.split("InMemoryRelation")[0]
-    assert "BroadcastHashJoin" in live, plan
-    assert "SortMergeJoin" not in live, plan
-    assert live.count("Scan parquet") == 1, plan
+    assert plan.count(") Scan parquet") == 1, plan
+    # execute, then judge the FINAL adaptive plan: AQE must have chosen
+    # a broadcast join for the (tiny) keeper table — proving the plain
+    # join still broadcasts when the table fits, without the hint
+    df.collect()
+    final = _plan(df)
+    assert "isFinalPlan=true" in final, final
+    # the formatted AQE output appends the pre-execution "Initial Plan"
+    # (which legitimately holds the static SortMergeJoin AQE replaced);
+    # judge only the final runtime plan above it
+    runtime = final.split("Initial Plan")[0]
+    assert "BroadcastHashJoin" in runtime, final
+    assert "SortMergeJoin" not in runtime, final
