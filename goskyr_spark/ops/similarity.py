@@ -380,10 +380,15 @@ def ann_topk_pq(embeddings, books, query_vec_id=0, k=10,
         code = _argmax_cosine_expr(sub, book)
         qsub = list(qvec)[s * d_sub:(s + 1) * d_sub]
         sims = [pycos(qsub, c) for c in book]
-        part = F.when(code == 0, F.lit(sims[0]))
-        for ci in range(1, len(book)):
-            part = part.when(code == ci, F.lit(sims[ci]))
-        score = score + part.otherwise(F.lit(0.0))
+        # ADC table lookup via element_at on a LITERAL sims array — the
+        # expression stays constant-size in the codebook width (a
+        # when-chain is O(n_centroids) nodes per subspace, which at the
+        # production k=256 × m codebooks bloats the JVM expression
+        # tree; same trick as _argmax_cosine_expr). code is always in
+        # [0, len(book)) by construction (array_position >= 1).
+        sims_arr = F.array(*[F.lit(float(x)) for x in sims])
+        score = score + F.element_at(sims_arr,
+                                     (code + 1).cast("int"))
     return (embeddings.filter(F.col(id_col) != query_vec_id)
             .select(F.col(id_col), F.round(score, 6).alias("adc_score"))
             .orderBy(F.desc("adc_score"), id_col).limit(k))

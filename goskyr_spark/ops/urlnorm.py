@@ -6,8 +6,11 @@ spellings of the same resource before the seen-set test, shrinking a
 
 Normalizations applied (all in whole-stage codegen, no Python):
 - strip the fragment ('#...' never reaches the server)
-- lowercase the scheme and the host (§6.2.2.1; userinfo, path and query
-  keep their case)
+- lowercase the scheme and the FULL authority (§6.2.2.1 requires only
+  scheme + host case-folding; this engine assumes crawl URLs carry no
+  userinfo — true of goskyr outlinks — so lowercasing the whole
+  authority is equivalent and stays a single expression; path and
+  query keep their case)
 - remove the default port (:80 for http, :443 for https)
 - remove dot segments from the path (§5.2.4) via K fixpoint passes of
   '/./' and '/seg/../' rewrites — K bounds the nesting depth handled
@@ -15,8 +18,15 @@ Normalizations applied (all in whole-stage codegen, no Python):
   DuckDB implementations, so parity holds regardless)
 - empty path with an authority -> '/'
 
-Deliberately NOT done (needs per-char logic, i.e. a UDF): percent-
-encoding case/unreserved normalization. Documented gap, not a bug.
+Percent-encoding normalization (§6.2.2.2 — uppercase the hex digits of
+retained triplets, decode triplets of UNRESERVED characters) needs
+per-triplet logic, so it is NOT in the pure-column default path; it
+ships as `percent_normalize_udf` — an Arrow-vectorized pandas UDF
+(single-pass regex, no double-decode hazard) that composes INSIDE
+column expressions: `url_normalize_full_expr` runs it BEFORE the
+column passes (decoding %2E first is what lets '/%2e%2e/' collapse as
+a dot segment). The crawl engine opts in with
+canonicalize_outlinks="full".
 
 The same pass sequence is emitted as DuckDB SQL by `oracle_sql_expr`,
 so the catalog query is value-hash gated end to end.
@@ -24,6 +34,10 @@ so the catalog query is value-hash gated end to end.
 
 from __future__ import annotations
 
+import re
+import string
+
+import pandas as pd
 from pyspark.sql import functions as F
 
 # scheme :// authority rest  (authority = up to first /?#)
@@ -63,6 +77,54 @@ def url_normalize(df, url_col="url", out_col="url_norm", passes=8):
     """df + a normalized-url column."""
     return df.withColumn(out_col, url_normalize_expr(F.col(url_col),
                                                      passes))
+
+
+# --- percent-encoding normalization (RFC 3986 §6.2.2.2) ----------------------
+
+_PCT_TRIPLET = re.compile("%([0-9A-Fa-f]{2})")
+_UNRESERVED = frozenset(string.ascii_letters + string.digits + "-._~")
+
+
+def percent_normalize_str(s: str) -> str:
+    """One URL string, percent-normalized: hex digits of retained
+    triplets uppercased (%3a -> %3A), triplets encoding UNRESERVED
+    characters decoded (%7E -> ~, %41 -> A). Single regex pass — a
+    decoded character can never be re-interpreted as part of another
+    triplet (the chained-replace approach would double-decode inputs
+    like '%%341'). Invalid triplets (non-hex) pass through untouched,
+    per §2.1: only valid pct-encoded octets are normalized."""
+    def fix(m):
+        ch = chr(int(m.group(1), 16))
+        return ch if ch in _UNRESERVED else "%" + m.group(1).upper()
+
+    return _PCT_TRIPLET.sub(fix, s)
+
+
+def percent_normalize_udf():
+    """Arrow-vectorized pandas UDF form — composes inside column
+    expressions (the crawl engine applies it to the outlink column in
+    the same projection as the pure-column passes; Arrow batch
+    transfer, never per-row Python over the wire)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _pct(col: pd.Series) -> pd.Series:
+        return col.map(lambda s: None if s is None
+                       else percent_normalize_str(s))
+
+    return pandas_udf(_pct, "string")
+
+
+def url_normalize_full_expr(col, passes=8):
+    """Full normalization: percent pass FIRST (so %2E becomes '.' and
+    participates in dot-segment removal — RFC applies §6.2.2.2 and
+    §6.2.2.3 together), then the pure-column syntax passes."""
+    return url_normalize_expr(percent_normalize_udf()(col), passes)
+
+
+def url_normalize_full(df, url_col="url", out_col="url_norm", passes=8):
+    """df + a fully-normalized-url column (syntax + percent-encoding)."""
+    return df.withColumn(out_col,
+                         url_normalize_full_expr(F.col(url_col), passes))
 
 
 def oracle_sql_expr(col_sql, passes=8):

@@ -706,6 +706,30 @@ def q_url_canonicalize(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_url_canonicalize_full(spark, sf_dir):
+    """FULL URL normalization: the syntax passes PLUS the RFC 3986
+    §6.2.2.2 percent-encoding pass (Arrow-vectorized kernel —
+    uppercase retained triplets, decode unreserved, single-pass so no
+    double-decode). The oracle does NOT replay the regexes: it states
+    the expected output per input family directly — an independent
+    computation of the same contract."""
+    from .ops.urlnorm import url_normalize_full_expr
+
+    d = F.col("doc_id")
+    seg = F.when(d % 6 == 0, F.lit("%7e")) \
+        .when(d % 6 == 1, F.lit("%7E")) \
+        .when(d % 6 == 2, F.lit("%41%2f")) \
+        .when(d % 6 == 3, F.lit("%zz")) \
+        .when(d % 6 == 4, F.lit("a%3ab")) \
+        .otherwise(F.lit("%2e"))
+    url = F.concat(F.lit("HTTPS://EX"), (d % 5).cast("string"),
+                   F.lit(".Test/"), seg, F.lit("/x?q=%54est%2f"))
+    return (documents(spark, sf_dir)
+            .select(d.alias("doc_id"), url.alias("url"))
+            .withColumn("url_norm", url_normalize_full_expr(F.col("url")))
+            .orderBy("doc_id"))
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC container round trip (io/warc.py — the Common Crawl page
     format): documents → HTTP response records → WARC blobs (8 files,
@@ -1739,6 +1763,28 @@ def _url_canonicalize_oracle():
 
 ORACLES_OPS["url_canonicalize"] = _url_canonicalize_oracle()
 
+# full normalization: expected outputs stated DIRECTLY per input family
+# (independent of the engine's kernel — a true oracle, not a replay):
+# %7e/%7E decode to ~ (unreserved), %41 -> A but %2f stays (reserved,
+# hex uppercased), invalid %zz untouched, %3a uppercased, %2e -> '.'
+# which then collapses as a dot segment
+ORACLES_OPS["url_canonicalize_full"] = """
+    SELECT doc_id,
+      'HTTPS://EX' || CAST(doc_id % 5 AS VARCHAR) || '.Test/' ||
+      (CASE WHEN doc_id % 6 = 0 THEN '%7e'
+            WHEN doc_id % 6 = 1 THEN '%7E'
+            WHEN doc_id % 6 = 2 THEN '%41%2f'
+            WHEN doc_id % 6 = 3 THEN '%zz'
+            WHEN doc_id % 6 = 4 THEN 'a%3ab'
+            ELSE '%2e' END) || '/x?q=%54est%2f' AS url,
+      'https://ex' || CAST(doc_id % 5 AS VARCHAR) || '.test' ||
+      (CASE WHEN doc_id % 6 IN (0, 1) THEN '/~/x'
+            WHEN doc_id % 6 = 2 THEN '/A%2F/x'
+            WHEN doc_id % 6 = 3 THEN '/%zz/x'
+            WHEN doc_id % 6 = 4 THEN '/a%3Ab/x'
+            ELSE '/x' END) || '?q=Test%2F' AS url_norm
+    FROM documents ORDER BY doc_id"""
+
 ORACLES_OPS["warc_roundtrip"] = """
     SELECT 'https://doc' || CAST(doc_id AS VARCHAR) || '.test/' AS url,
            CAST(200 AS BIGINT) AS http_status,
@@ -1879,6 +1925,7 @@ def all_queries():
         "crawl_round": q_crawl_round,
         # --- new in round 4 ---
         "curate_corpus_capped": q_curate_corpus_capped,
+        "url_canonicalize_full": q_url_canonicalize_full,
         # --- covered in r03 ---
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,

@@ -291,17 +291,18 @@ class CrawlEngine:
         # ports, dot segments, fragments) to every outlink AND seed
         # before the seen-set test, merging trivially-distinct spellings
         # of the same resource — frontier hygiene at the 10^10 design
-        # point. Opt-in: goskyr's own URL-join output is the reference
-        # identity, so normalization changes crawl digests by design.
+        # point. canonicalize_outlinks="full" additionally runs the
+        # percent-encoding pass (§6.2.2.2, Arrow-vectorized kernel —
+        # %7E and ~ spellings land on ONE frontier row). Opt-in:
+        # goskyr's own URL-join output is the reference identity, so
+        # normalization changes crawl digests by design.
         self.canonicalize_outlinks = canonicalize_outlinks
         if canonicalize_outlinks:
-            from ..ops.urlnorm import url_normalize_expr
-
             sdf = spark.createDataFrame([(s,) for s in self.seeds],
                                         "url string")
             self.seeds = sorted({
                 r["url"] for r in sdf.select(
-                    url_normalize_expr(F.col("url")).alias("url"))
+                    self._canon_expr(F.col("url")).alias("url"))
                 .collect()})
         # one schema for all hosts: factory must produce field-compatible
         # scrapers (heterogeneous configs get engine instances per config)
@@ -345,6 +346,16 @@ class CrawlEngine:
         self.t_items = self.store.table("items")
         self.t_metrics = self.store.table("metrics")
         self.t_rounds = self.store.table("rounds")
+
+    def _canon_expr(self, col):
+        """URL-canonicalization Column for the configured mode: syntax
+        passes only (True) or syntax + percent-encoding kernel
+        ("full")."""
+        from ..ops.urlnorm import url_normalize_expr, url_normalize_full_expr
+
+        if self.canonicalize_outlinks == "full":
+            return url_normalize_full_expr(col)
+        return url_normalize_expr(col)
 
     def _bc(self, value):
         """Create a round-scoped SparkContext broadcast. Handles are
@@ -1326,9 +1337,7 @@ class CrawlEngine:
         # --- outlinks → seen-set → new frontier rows
         out_url = F.col("_outlink")
         if self.canonicalize_outlinks:
-            from ..ops.urlnorm import url_normalize_expr
-
-            out_url = url_normalize_expr(out_url)
+            out_url = self._canon_expr(out_url)
         outlinks = (result.filter("_kind = 'outlink'")
                     .select(out_url.alias("url"),
                             (F.col("_depth") + 1).alias("depth"),
