@@ -94,6 +94,21 @@ FETCHED_SCHEMA = StructType([
     StructField("n_errors", LongType()),
 ])
 
+# incremental per-host crawl feedback: one DELTA row per (host, round)
+# touched that round. The adaptive dequeue aggregates THIS table (rows
+# ~ hosts-active-per-round, compacted to one row per host) instead of
+# re-aggregating the full fetched history — dequeue cost stays
+# proportional to open work, not crawl length. Sums are mergeable, so
+# compaction is groupBy(host).sum and rollback is the standard
+# round-meta walk.
+HOST_STATS_SCHEMA = StructType([
+    StructField("host", StringType()),
+    StructField("n_fetched", LongType()),
+    StructField("n_ok", LongType()),
+    StructField("n_items", LongType()),
+    StructField("round", LongType()),
+])
+
 SEEN_SCHEMA = StructType([
     StructField("url", StringType()),
     StructField("url_hash", LongType()),
@@ -346,6 +361,7 @@ class CrawlEngine:
         self.t_items = self.store.table("items")
         self.t_metrics = self.store.table("metrics")
         self.t_rounds = self.store.table("rounds")
+        self.t_host_stats = self.store.table("host_stats")
 
     def _canon_expr(self, col):
         """URL-canonicalization Column for the configured mode: syntax
@@ -404,11 +420,53 @@ class CrawlEngine:
         correctness (a host is only guaranteed to live in one bucket
         per modulus). The next compact() rewrites everything under the
         current modulus, after which the bucketed path resumes."""
-        for t in (self.t_frontier, self.t_fetched):
+        tables = [self.t_frontier, self.t_fetched]
+        # the adaptive bucketed kernel also reads its bucket's
+        # host_stats files task-locally
+        if self.adaptive_priority and self.t_host_stats.exists():
+            tables.append(self.t_host_stats)
+        for t in tables:
             files = set(t.manifest()["files"])
             if files - set(t.bucket_map(expect_mod=self.frontier_buckets)):
                 return False
         return True
+
+    def _frontier_compact_round(self):
+        """Round of the frontier compaction currently IN EFFECT, or
+        None. A compaction at round C rewrote the frontier to the
+        pending set (frontier ANTI JOIN fetched through C), and a URL
+        can never re-enter the frontier (the seen set blocks
+        re-discovery) — so every live frontier row is guaranteed
+        un-fetched as of C, and the dequeue anti-join only needs
+        fetched rows from rounds > C.
+
+        'In effect' is decided by the commit LINEAGE (robust even when
+        the compacted pending set was empty): walking the frontier's
+        snapshot chain oldest→newest, a compaction commit establishes
+        its round; any LATER commit carrying a SMALLER round is a
+        rollback that restored pre-compaction content and voids the
+        guarantee (conservatively — even if an earlier compaction might
+        still hold, fall back to reading all fetched files until the
+        next compaction re-establishes the bound)."""
+        c = None
+        for m in self.t_frontier.snapshots():
+            r = m["meta"].get("round")
+            if m["meta"].get("compacted") and r is not None:
+                c = r if c is None else max(c, r)
+            elif c is not None and r is not None and r < c:
+                c = None
+        return c
+
+    def _antijoin_fetched_files(self):
+        """(relative fetched files the dequeue anti-join must read,
+        compact_round) — files from commits at rounds > the effective
+        frontier compaction (None round = unknown origin = keep)."""
+        c = self._frontier_compact_round()
+        fr = self.t_fetched.file_rounds()
+        if c is None:
+            return sorted(fr), None
+        return sorted(f for f, r in fr.items()
+                      if r is None or r > c), c
 
     def _dequeue_bucketed(self):
         """Shuffle-free dequeue: one task per host-hash bucket reads its
@@ -419,22 +477,34 @@ class CrawlEngine:
         Produces the identical row set as the window dequeue (a host is
         entirely inside one bucket)."""
         mod = self.frontier_buckets
+        adaptive = self.adaptive_priority
         fmap = self.t_frontier.bucket_map(expect_mod=mod)
         gmap = self.t_fetched.bucket_map(expect_mod=mod)
+        # anti-join only needs fetched files newer than the effective
+        # frontier compaction — the kernel's task memory and read
+        # volume track work since the last compaction, not history
+        aj_keep, _c = self._antijoin_fetched_files()
+        aj_keep = set(aj_keep)
+        hmap = (self.t_host_stats.bucket_map(expect_mod=mod)
+                if adaptive and self.t_host_stats.exists() else {})
         fdir, gdir = self.t_frontier.dir, self.t_fetched.dir
+        hdir = self.t_host_stats.dir
         by_bucket = {}
         for rel, b in fmap.items():
-            by_bucket.setdefault(b, ([], []))[0].append(
+            by_bucket.setdefault(b, ([], [], []))[0].append(
                 os.path.join(fdir, rel))
         for rel, b in gmap.items():
-            by_bucket.setdefault(b, ([], []))[1].append(
-                os.path.join(gdir, rel))
-        buckets = sorted(b for b, (ff, _) in by_bucket.items() if ff)
+            if rel in aj_keep:
+                by_bucket.setdefault(b, ([], [], []))[1].append(
+                    os.path.join(gdir, rel))
+        for rel, b in hmap.items():
+            by_bucket.setdefault(b, ([], [], []))[2].append(
+                os.path.join(hdir, rel))
+        buckets = sorted(b for b, (ff, _, _) in by_bucket.items() if ff)
         if not buckets:
             return self.spark.createDataFrame([], FRONTIER_SCHEMA)
         bc = self._bc(by_bucket)
         per_host, budget = self.per_host_budget, self.round_budget
-        adaptive = self.adaptive_priority
         err_w = float(self.adaptive_error_weight)
         yld_w = float(self.adaptive_yield_weight)
         cols = [f.name for f in FRONTIER_SCHEMA.fields]
@@ -460,39 +530,48 @@ class CrawlEngine:
 
             for batch in batches:
                 for b in batch.column(0).to_pylist():
-                    f_files, g_files = bc.value[b]
+                    f_files, g_files, h_files = bc.value[b]
                     # files from different rounds disagree on nullable
                     # flags — cast to the uniform schema before concat
                     fr = pa.concat_tables(
                         [pq.read_table(p, columns=cols).cast(arrow_schema)
                          for p in f_files])
                     pdf = fr.to_pandas()
-                    gcols = (["url", "host", "status", "n_items"]
-                             if adaptive else ["url"])
-                    gpdf = None
                     if g_files:
+                        # membership test needs ONLY the url column of
+                        # the post-compaction fetched files
                         gpdf = pa.concat_tables(
-                            [pq.read_table(p, columns=gcols)
-                             .cast(pa.schema(
-                                 [pa.field(c, pa.string()) if c in
-                                  ("url", "host", "status")
-                                  else pa.field(c, pa.int64())
-                                  for c in gcols]))
+                            [pq.read_table(p, columns=["url"])
+                             .cast(pa.schema([pa.field("url",
+                                                       pa.string())]))
                              for p in g_files]).to_pandas()
                         if len(gpdf):
                             pdf = pdf[~pdf["url"].isin(set(gpdf["url"]))]
                     if pdf.empty:
                         continue
                     if adaptive:
-                        # task-local host feedback: integer sums then
-                        # ONE float64 expression — bit-identical to the
-                        # window path's JVM arithmetic
+                        # task-local host feedback from the bucket's
+                        # host_stats DELTA files (never raw fetched
+                        # history): integer sums then ONE float64
+                        # expression — bit-identical to the window
+                        # path's JVM arithmetic
                         eff = pdf["priority"].to_numpy(dtype="float64")
-                        if gpdf is not None and len(gpdf):
-                            g = gpdf.groupby("host", sort=False).agg(
-                                _nf=("url", "size"),
-                                _nok=("status",
-                                      lambda s: int((s == "ok").sum())),
+                        hpdf = None
+                        if h_files:
+                            hpdf = pa.concat_tables(
+                                [pq.read_table(
+                                    p, columns=["host", "n_fetched",
+                                                "n_ok", "n_items"])
+                                 .cast(pa.schema(
+                                     [pa.field("host", pa.string()),
+                                      pa.field("n_fetched", pa.int64()),
+                                      pa.field("n_ok", pa.int64()),
+                                      pa.field("n_items", pa.int64())]))
+                                 for p in h_files]).to_pandas()
+                        if hpdf is not None and len(hpdf):
+                            g = hpdf.groupby("host", sort=False).agg(
+                                _nf=("n_fetched", "sum"),
+                                _nok=("n_ok", "sum"),
                                 _ni=("n_items", "sum"))
                             nf = g["_nf"].to_numpy(dtype="float64")
                             nok = g["_nok"].to_numpy(dtype="float64")
@@ -551,11 +630,24 @@ class CrawlEngine:
         after a mid-round crash replay identically."""
         last = self.last_complete_round()
         tables = [self.t_frontier, self.t_fetched, self.t_seen,
-                  self.t_slabs, self.t_items, self.t_metrics]
+                  self.t_slabs, self.t_items, self.t_metrics,
+                  self.t_host_stats]
         if self.debug or self._retain_html:
             tables.append(self.t_debug)
         for t in tables:
             self._rollback_table(t, last)
+        # legacy workdir (crawled before host_stats existed): backfill
+        # the feedback table from fetched ONCE; every later round stays
+        # incremental
+        if (not self.t_host_stats.exists() and self.t_fetched.exists()
+                and last >= 0):
+            fetched = self.t_fetched.read(self.spark,
+                                          schema=FETCHED_SCHEMA)
+            self._hostpart_write(
+                self.t_host_stats,
+                self._host_stats_delta(fetched)
+                .withColumn("round", F.lit(last).cast("long")),
+                {"round": last, "backfilled": True}, coalesce=1)
         return last
 
     def bootstrap(self):
@@ -978,6 +1070,22 @@ class CrawlEngine:
                 .repartition(n_parts, "_sid").drop("_sid")
                 .mapInArrow(flag, flag_schema))
 
+    def _host_stats_df(self):
+        """The incremental per-host feedback table (delta rows; sum per
+        host = cumulative history). Always safe to read: legacy
+        workdirs are backfilled once in recover()."""
+        return self.t_host_stats.read(self.spark,
+                                      schema=HOST_STATS_SCHEMA)
+
+    def _host_stats_delta(self, fetch_df):
+        """One round's per-host delta rows from that round's fetch
+        results (tiny: ≤ hosts touched this round)."""
+        return (fetch_df.groupBy("host")
+                .agg(F.count("*").alias("n_fetched"),
+                     F.sum(F.when(F.col("status") == "ok", 1)
+                           .otherwise(0)).alias("n_ok"),
+                     F.sum("n_items").alias("n_items")))
+
     def _adaptive_adj_expr(self):
         """Per-host priority adjustment from cumulative fetch history
         (columns _nf, _nok, _ni): positive for failing hosts (later),
@@ -1017,48 +1125,66 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------ round
 
+    def _dequeue_window(self):
+        """Shuffle-based dequeue (the non-bucketed path): compaction-
+        pruned anti-join, optional adaptive host feedback, per-host
+        top-k window, global budget."""
+        spark = self.spark
+        frontier = self.t_frontier.read(spark, schema=FRONTIER_SCHEMA)
+        # anti-join right side: only fetched files from rounds
+        # AFTER the effective frontier compaction — a compacted
+        # frontier already excludes everything fetched up to that
+        # round, so the anti-join cost tracks work since the last
+        # compaction, not total crawl history
+        aj_files, _c = self._antijoin_fetched_files()
+        if aj_files:
+            fetched_aj = spark.read.parquet(
+                *[os.path.join(self.t_fetched.dir, f)
+                  for f in aj_files])
+        else:
+            fetched_aj = spark.createDataFrame([], FETCHED_SCHEMA)
+        pending = frontier.join(fetched_aj.select("url_hash", "url"),
+                                on=["url_hash", "url"], how="left_anti")
+
+        if self.adaptive_priority:
+            # per-host feedback from the INCREMENTAL host_stats
+            # table (delta rows per round, compacted to one row per
+            # host) — never a re-aggregation of the full fetched
+            # history. Integer delta sums then one double
+            # expression: bit-identical to aggregating fetched
+            # directly, at a cost proportional to active hosts.
+            adj = (self._host_stats_df()
+                   .groupBy("host")
+                   .agg(F.sum("n_fetched").alias("_nf"),
+                        F.sum("n_ok").alias("_nok"),
+                        F.sum("n_items").alias("_ni"))
+                   .select("host", self._adaptive_adj_expr()))
+            pending = (pending.join(adj, "host", "left")
+                       .withColumn(
+                           "_eff",
+                           F.col("priority")
+                           + F.coalesce(F.col("_adj"), F.lit(0.0)))
+                       .drop("_adj"))
+        else:
+            pending = pending.withColumn("_eff", F.col("priority"))
+
+        # per-host top-k dequeue, then global budget — explicit sorts
+        w = Window.partitionBy("host").orderBy("_eff", "url")
+        return (pending
+                .withColumn("_rank", F.row_number().over(w))
+                .filter(F.col("_rank") <= self.per_host_budget)
+                .drop("_rank")
+                .orderBy("_eff", "url")
+                .limit(self.round_budget)
+                .drop("_eff"))
+
     def run_round(self, round_no: int):
         t0 = time.time()
         spark = self.spark
         if self.frontier_buckets and self._buckets_complete():
             dequeued = self._dequeue_bucketed()
         else:
-            frontier = self.t_frontier.read(spark, schema=FRONTIER_SCHEMA)
-            fetched = self.t_fetched.read(spark, schema=FETCHED_SCHEMA)
-
-            pending = frontier.join(fetched.select("url_hash", "url"),
-                                    on=["url_hash", "url"], how="left_anti")
-
-            if self.adaptive_priority:
-                # per-host feedback from crawl history: one aggregation
-                # of the fetched table (already scanned for the
-                # anti-join), joined on host — co-partitioned with the
-                # ranking window below, so no extra exchange for the
-                # window itself
-                adj = (fetched.groupBy("host")
-                       .agg(F.count("*").alias("_nf"),
-                            F.sum(F.when(F.col("status") == "ok", 1)
-                                  .otherwise(0)).alias("_nok"),
-                            F.sum("n_items").alias("_ni"))
-                       .select("host", self._adaptive_adj_expr()))
-                pending = (pending.join(adj, "host", "left")
-                           .withColumn(
-                               "_eff",
-                               F.col("priority")
-                               + F.coalesce(F.col("_adj"), F.lit(0.0)))
-                           .drop("_adj"))
-            else:
-                pending = pending.withColumn("_eff", F.col("priority"))
-
-            # per-host top-k dequeue, then global budget — explicit sorts
-            w = Window.partitionBy("host").orderBy("_eff", "url")
-            dequeued = (pending
-                        .withColumn("_rank", F.row_number().over(w))
-                        .filter(F.col("_rank") <= self.per_host_budget)
-                        .drop("_rank")
-                        .orderBy("_eff", "url")
-                        .limit(self.round_budget)
-                        .drop("_eff"))
+            dequeued = self._dequeue_window()
 
         dequeued = dequeued.cache()
         n_dequeued = dequeued.count()
@@ -1332,6 +1458,14 @@ class CrawlEngine:
         # single consumer (the append) — reads the seq_sorted cache
         self._hostpart_write(self.t_fetched, fetch_rows,
                              {"round": round_no}, coalesce=out_coalesce)
+        # incremental host feedback: THIS round's per-host delta (from
+        # the same seq_sorted cache — no rescan), so the adaptive
+        # dequeue never re-aggregates fetched history
+        self._hostpart_write(
+            self.t_host_stats,
+            self._host_stats_delta(seq_sorted)
+            .withColumn("round", F.lit(round_no).cast("long")),
+            {"round": round_no}, coalesce=1)
         dequeued.unpersist()
 
         # --- outlinks → seen-set → new frontier rows
@@ -1463,6 +1597,21 @@ class CrawlEngine:
             n = df.count()
             t.overwrite(df.coalesce(max(1, n // 500_000 + 1)),
                         {"round": last, "compacted": True})
+        # host_stats deltas are mergeable sums: collapse to ONE row per
+        # host, so the adaptive dequeue's read stays O(hosts) however
+        # long the crawl runs
+        if self.t_host_stats.exists():
+            hs = self.t_host_stats.read(self.spark,
+                                        schema=HOST_STATS_SCHEMA)
+            merged = (hs.groupBy("host")
+                      .agg(F.sum("n_fetched").alias("n_fetched"),
+                           F.sum("n_ok").alias("n_ok"),
+                           F.sum("n_items").alias("n_items"))
+                      .withColumn("round", F.lit(last).cast("long"))
+                      .select(*[f.name for f in HOST_STATS_SCHEMA.fields]))
+            self._hostpart_write(self.t_host_stats, merged,
+                                 {"round": last, "compacted": True},
+                                 mode="overwrite", coalesce=1)
         # driver caches key on table HEAD, which just changed
         self._slabs_mem = None
         self._stats_mem = None

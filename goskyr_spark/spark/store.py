@@ -142,6 +142,24 @@ class SnapshotTable:
         live = set(self.manifest()["files"])
         return {f: b for f, b in merged.items() if f in live}
 
+    def file_rounds(self):
+        """{relative file path → commit round} for the CURRENT
+        snapshot's files: a file's round is the meta.round of the FIRST
+        commit (walking from the root) that lists it — i.e. the round
+        whose job wrote it. Lets readers prune history-proportional
+        scans to files written after a known round (e.g. the dequeue
+        anti-join only needs fetched files newer than the last frontier
+        compaction). Files from commits without a round meta map to
+        None (callers must treat None as 'unknown — read it')."""
+        rounds = {}
+        for m in self.snapshots():
+            r = m["meta"].get("round")
+            for f in m["files"]:
+                if f not in rounds:
+                    rounds[f] = r
+        live = set(self.manifest()["files"])
+        return {f: rounds.get(f) for f in live}
+
     def append_rows(self, rows, spark_schema, meta=None):
         """Driver-side append of a SMALL driver-known row set (round
         markers, per-partition metrics — a handful of rows the driver

@@ -141,3 +141,82 @@ def test_dup_components_warns_on_non_convergence(spark):
         labels = dup_components(pairs, max_iter=20).collect()
     assert not any("did not converge" in str(w.message) for w in rec)
     assert {r.component for r in labels} == {0}
+
+
+def _mini_engine(spark, tmp_path, **kw):
+    from datetime import datetime, timezone
+
+    from goskyr_spark.spark.crawl import CrawlEngine
+    from goskyr_spark.synth import (SynthSpec, event_scraper, host_name,
+                                    synth_pages_df)
+
+    spec = SynthSpec(n_hosts=3, pages_per_host=3, items_per_page=2,
+                     hot_hosts=0)
+    pages = synth_pages_df(spark, spec, include_fixtures=False)
+    return CrawlEngine(
+        spark, str(tmp_path / "wd"), pages, event_scraper,
+        [f"https://{host_name(h)}/list/1" for h in range(3)],
+        now=datetime(2026, 3, 1, tzinfo=timezone.utc),
+        fetch_partitions=2, **kw)
+
+
+def test_host_stats_incremental_matches_fetched(spark, tmp_path):
+    """The incremental per-host feedback table (one delta commit per
+    round) sums to exactly the re-aggregation of the full fetched
+    history it replaces (VERDICT r3 item 4) — and carries more than one
+    round's delta, proving it is appended incrementally, not rebuilt."""
+    from pyspark.sql import functions as F
+
+    eng = _mini_engine(spark, tmp_path, adaptive_priority=True)
+    eng.run(max_rounds=6)
+    hs = eng._host_stats_df()
+    assert hs.select("round").distinct().count() > 1
+    got = {(r["host"]): (r["nf"], r["nok"], r["ni"])
+           for r in hs.groupBy("host")
+           .agg(F.sum("n_fetched").alias("nf"), F.sum("n_ok").alias("nok"),
+                F.sum("n_items").alias("ni")).collect()}
+    want = {(r["host"]): (r["nf"], r["nok"], r["ni"])
+            for r in eng.t_fetched.read(spark).groupBy("host")
+            .agg(F.count("*").alias("nf"),
+                 F.sum(F.when(F.col("status") == "ok", 1).otherwise(0))
+                 .alias("nok"),
+                 F.sum("n_items").alias("ni")).collect()}
+    assert got == want
+
+
+def test_compact_round_lineage(spark, tmp_path):
+    """_frontier_compact_round: in effect after compact() (including a
+    DRAINED crawl whose compacted pending set is empty), voided by a
+    rollback to a pre-compaction round, re-established by the next
+    compact (VERDICT r3 items 4/5 correctness core)."""
+    eng = _mini_engine(spark, tmp_path)
+    eng.run(max_rounds=10)           # drains: every page fetched
+    last = eng.last_complete_round()
+    eng.compact()
+    c = eng._frontier_compact_round()
+    assert c == last
+    files, got_c = eng._antijoin_fetched_files()
+    assert files == [] and got_c == last
+    # rollback to round 0 (pre-compaction): guarantee voided — the
+    # anti-join must read fetched files again
+    eng._rollback_table(eng.t_frontier, 0)
+    assert eng._frontier_compact_round() is None
+    aj, _ = eng._antijoin_fetched_files()
+    assert len(aj) > 0
+    # a fresh compaction re-establishes the bound
+    eng._rollback_table(eng.t_fetched, 0)
+    eng.compact()
+    assert eng._frontier_compact_round() == eng.last_complete_round()
+
+
+def test_pruned_antijoin_digest_unchanged(spark, tmp_path):
+    """A crawl that compacts mid-run (pruned anti-join active from the
+    next round on) fetches the exact same URL set as one that never
+    compacts."""
+    eng_a = _mini_engine(spark, tmp_path / "a", compact_every=2)
+    eng_a.run(max_rounds=10)
+    eng_b = _mini_engine(spark, tmp_path / "b")
+    eng_b.run(max_rounds=10)
+    ua = sorted(r["url"] for r in eng_a.t_fetched.read(spark).collect())
+    ub = sorted(r["url"] for r in eng_b.t_fetched.read(spark).collect())
+    assert ua == ub and len(ua) > 0
