@@ -212,7 +212,8 @@ def bench_queries(spark):
              "sim_ivf_train", "sim_ann_ivf_trained",
              "sim_pq_train", "sim_ann_pq", "sim_ann_pq_rerank",
              "txt_repetition", "txt_gopher_quality", "txt_c4_clean",
-             "curate_gopher", "curate_corpus", "url_canonicalize",
+             "curate_gopher", "curate_corpus", "curate_corpus_capped",
+             "url_canonicalize", "url_canonicalize_full",
              "mm_decode", "mm_resize", "mm_frames", "mm_audio",
              "curate_keep", "curate_decontaminate", "curate_split",
              "curate_mixture", "warc_roundtrip",

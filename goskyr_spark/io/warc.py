@@ -17,10 +17,16 @@ Crawl shipping form — one gzip MEMBER per record, concatenated;
 ``gunzip_members`` walks the members with zlib so the stream splits
 without any record-boundary guessing.
 
-Scale design: parsing is pure per-blob Python driven by
-``mapInPandas`` over Spark's ``binaryFile`` source — one task per WARC
-file (Common Crawl files are ~1 GB: a natural partition), no shuffle;
-the result is the engine's standard (url, html) pages table feeding
+Scale design: one task per WARC file (Common Crawl files are ~1 GB: a
+natural partition), no shuffle; the file list is discovered
+distributedly (``binaryFile`` source with ONLY the path column
+projected — no blob read), and each task STREAMS its file in chunks
+through ``iter_gunzip_stream`` → ``iter_warc_stream``, yielding record
+batches every ``batch_rows`` pages. Peak task memory is
+O(chunk + largest single record), NOT O(archive): a 1 GB .warc.gz that
+decompresses 4-5× never materializes either the blob or the plain
+stream, and the 2 GB ``binaryFile`` content ceiling does not apply.
+The result is the engine's standard (url, html) pages table feeding
 extract_stage1 unchanged.
 """
 
@@ -73,63 +79,134 @@ def _parse_http(block: bytes):
         return 0, block
 
 
-def parse_warc(data: bytes):
-    """Yield (target_uri, http_status, body_bytes) for each well-formed
-    ``response`` record; malformed records are SKIPPED, not fatal (a
-    100 TB crawl archive always contains some — one bad record must
-    never kill the task). Non-response record types are ignored."""
-    pos = 0
-    n = len(data)
-    while pos < n:
-        if not data.startswith(b"WARC/", pos):
-            # resync: find the next record marker
-            nxt = data.find(b"\r\n\r\nWARC/", pos)
-            if nxt < 0:
+def iter_warc_stream(chunks):
+    """Incremental WARC parse over an iterable of byte chunks: yield
+    (target_uri, http_status, body_bytes) for each well-formed
+    ``response`` record. Buffered bytes never exceed
+    O(largest record + one chunk) — this is the streaming core that
+    lets a task read a multi-GB archive without materializing it.
+    Malformed records are SKIPPED, not fatal (a 100 TB crawl archive
+    always contains some — one bad record must never kill the task);
+    non-response record types are ignored."""
+    it = iter(chunks)
+    buf = b""
+    eof = False
+
+    def more():
+        nonlocal buf, eof
+        try:
+            buf += next(it)
+            return True
+        except StopIteration:
+            eof = True
+            return False
+
+    while True:
+        # align on a record start (resync past garbage between records)
+        while not buf.startswith(b"WARC/"):
+            nxt = buf.find(b"\r\n\r\nWARC/")
+            if nxt >= 0:
+                buf = buf[nxt + 4:]
+                continue
+            # marker may straddle a chunk boundary: keep a small tail
+            if len(buf) > 16:
+                buf = buf[-16:]
+            if not more():
                 return
-            pos = nxt + 4
-            continue
-        hdr_end = data.find(b"\r\n\r\n", pos)
-        if hdr_end < 0:
-            return
+        hdr_end = buf.find(b"\r\n\r\n")
+        while hdr_end < 0:
+            if not more():
+                return
+            hdr_end = buf.find(b"\r\n\r\n")
         headers = {}
-        for line in data[pos:hdr_end].split(CRLF)[1:]:
+        for line in buf[:hdr_end].split(CRLF)[1:]:
             k, _, v = line.partition(b":")
             headers[k.strip().lower()] = v.strip()
         try:
             length = int(headers.get(b"content-length", b""))
         except ValueError:
-            pos = hdr_end + 4
+            buf = buf[hdr_end + 4:]
             continue
-        block = data[hdr_end + 4:hdr_end + 4 + length]
-        pos = hdr_end + 4 + length + 4      # trailing CRLFCRLF
+        need = hdr_end + 4 + length + 4     # block + trailing CRLFCRLF
+        while len(buf) < need and not eof:
+            more()
+        block = buf[hdr_end + 4:hdr_end + 4 + length]
+        buf = buf[need:]
         if headers.get(b"warc-type") != b"response":
             continue
         uri = headers.get(b"warc-target-uri")
-        if not uri or len(block) != length:
+        if not uri or len(block) != length:   # truncated final record
             continue
         status, body = _parse_http(block)
         yield uri.decode("utf-8", "replace"), status, body
 
 
-def gunzip_members(data: bytes) -> bytes:
-    """Decompress CONCATENATED gzip members (the .warc.gz layout: one
-    member per record) into one plain byte stream. A truncated or
-    corrupt trailing member yields what decompressed cleanly before it
-    — same never-fatal stance as parse_warc."""
+def parse_warc(data: bytes):
+    """Yield (target_uri, http_status, body_bytes) from in-memory WARC
+    bytes — the whole-blob convenience form of ``iter_warc_stream``."""
+    return iter_warc_stream([data])
+
+
+def iter_gunzip_stream(chunks):
+    """Streaming decompressor for CONCATENATED gzip members (the
+    .warc.gz layout: one member per record): an iterable of compressed
+    chunks in, an iterable of plain chunks out, holding only one
+    compressed chunk + the zlib window in memory at a time.
+
+    Never-fatal stance: a corrupt member causes a scan forward for the
+    next plausible member start (gzip magic ``1f 8b 08``) and resumes
+    there, so only the bad member — at worst plus the one immediately
+    after it in a pathological truncation — is lost, not the rest of
+    the archive. A truncated FINAL member yields what decompressed
+    cleanly before the cut."""
     import zlib
 
-    out = []
-    while data:
-        d = zlib.decompressobj(wbits=31)      # 31 = gzip wrapper
+    it = iter(chunks)
+    d = zlib.decompressobj(wbits=31)          # 31 = gzip wrapper
+    pending = b""
+    scanning = False          # True: looking for the next member magic
+    while True:
+        if not pending:
+            nxt = next(it, None)
+            if nxt is None:
+                return
+            pending = bytes(nxt)
+            continue
+        if scanning:
+            i = pending.find(b"\x1f\x8b\x08")
+            if i < 0:
+                pending = pending[-2:]        # magic may straddle
+                nxt = next(it, None)
+                if nxt is None:
+                    return
+                pending += bytes(nxt)
+                continue
+            pending = pending[i:]
+            d = zlib.decompressobj(wbits=31)
+            scanning = False
         try:
-            out.append(d.decompress(data))
-            out.append(d.flush())
+            out = d.decompress(pending)
         except zlib.error:
-            break
-        if not d.eof:                          # truncated member
-            break
-        data = d.unused_data
-    return b"".join(out)
+            # corrupt member: everything fed since its start is lost;
+            # skip one byte (guaranteed progress) and hunt for the next
+            # member header
+            scanning = True
+            pending = pending[1:]
+            continue
+        if out:
+            yield out
+        if d.eof:                              # member boundary
+            pending = d.unused_data
+            d = zlib.decompressobj(wbits=31)
+        else:
+            pending = b""
+
+
+def gunzip_members(data: bytes) -> bytes:
+    """Decompress concatenated gzip members held in memory — the
+    whole-blob convenience form of ``iter_gunzip_stream`` (same
+    corrupt-member resync)."""
+    return b"".join(iter_gunzip_stream([data]))
 
 
 def write_warc_gz(records) -> bytes:
@@ -141,32 +218,79 @@ def write_warc_gz(records) -> bytes:
         gzip.compress(write_warc([rec]), mtime=0) for rec in records)
 
 
-def read_warc_pages(spark, path, encoding="utf-8"):
+def _open_chunks(path, chunk_bytes=1 << 20):
+    """Yield byte chunks from a file path/URI. ``file:`` URIs (and bare
+    paths) use plain ``open``; any other scheme resolves through
+    ``pyarrow.fs.FileSystem.from_uri`` (s3/hdfs/... on a real cluster),
+    which also streams."""
+    if path.startswith("file:"):
+        local = path[5:]
+        if local.startswith("///"):
+            local = local[2:]
+        f = open(local, "rb")
+    elif "://" in path:
+        from pyarrow import fs as pafs
+
+        filesystem, p = pafs.FileSystem.from_uri(path)
+        f = filesystem.open_input_stream(p)
+    else:
+        f = open(path, "rb")
+    with f:
+        while True:
+            b = f.read(chunk_bytes)
+            if not b:
+                return
+            yield b
+
+
+def iter_warc_file(path, chunk_bytes=1 << 20):
+    """Stream (uri, status, body) records from one .warc / .warc.gz
+    path, peak memory O(chunk + largest record). Gzip is detected from
+    the first chunk's magic, not the file name."""
+    chunks = _open_chunks(path, chunk_bytes)
+    first = next(chunks, None)
+    if first is None:
+        return iter(())
+    import itertools
+
+    stream = itertools.chain([first], chunks)
+    if first[:2] == b"\x1f\x8b":
+        stream = iter_gunzip_stream(stream)
+    return iter_warc_stream(stream)
+
+
+def read_warc_pages(spark, path, encoding="utf-8", batch_rows=2000,
+                    chunk_bytes=1 << 20):
     """Spark source: directory/glob of .warc / .warc.gz files → pages
-    DataFrame (warc_file, url, http_status, html). One task per file
-    via the binaryFile source; the parse (and per-member gunzip for
-    .gz) runs Arrow-batched in mapInPandas."""
+    DataFrame (warc_file, url, http_status, html). One task per file:
+    the binaryFile source is used ONLY for distributed file discovery
+    (path column projected — the format skips the blob read entirely),
+    then each task streams its file through iter_warc_file and emits a
+    record batch every ``batch_rows`` pages. Task memory is bounded by
+    O(chunk + largest record + batch_rows pages) regardless of archive
+    size; binaryFile's 2 GB content cap does not apply."""
     from pyspark.sql import functions as F
 
     raw = (spark.read.format("binaryFile")
            .load(path)
-           .select(F.col("path").alias("warc_file"), "content"))
+           .select(F.col("path").alias("warc_file")))
 
     def parse(batches):
         import pandas as pd
 
+        cols = ["warc_file", "url", "http_status", "html"]
         for pdf in batches:
-            rows = []
-            for path_, blob in zip(pdf["warc_file"], pdf["content"]):
-                data = bytes(blob)
-                if data[:2] == b"\x1f\x8b":    # gzip magic
-                    data = gunzip_members(data)
-                for uri, status, body in parse_warc(data):
+            for path_ in pdf["warc_file"]:
+                rows = []
+                for uri, status, body in iter_warc_file(
+                        path_, chunk_bytes):
                     rows.append((path_, uri, status,
                                  body.decode(encoding, "replace")))
-            yield pd.DataFrame(
-                rows, columns=["warc_file", "url", "http_status",
-                               "html"])
+                    if len(rows) >= batch_rows:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
 
     return raw.mapInPandas(
         parse,

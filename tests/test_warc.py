@@ -151,3 +151,88 @@ def test_crawl_engine_from_warc_source(spark, tmp_path):
     fetched = eng.t_fetched.read(spark).collect()
     assert sum(r["status"] == "ok" for r in fetched) >= 2   # both lists
     assert sum(r["n_items"] for r in fetched) == 4
+
+
+def test_gzip_corrupt_middle_member_resync():
+    """A corrupt member in the MIDDLE of a .warc.gz loses only itself:
+    the decompressor scans forward to the next gzip magic and resumes,
+    instead of silently dropping the whole rest of the archive."""
+    from goskyr_spark.io.warc import gunzip_members, write_warc_gz
+
+    recs = [("https://a.test/", build_http_response(b"AAA")),
+            ("https://b.test/", build_http_response(b"BBB")),
+            ("https://c.test/", build_http_response(b"CCC"))]
+    g = [write_warc_gz(recs[i:i + 1]) for i in range(3)]
+    corrupt = (g[1][:10] + bytes(b ^ 0xFF for b in g[1][10:20])
+               + g[1][20:])
+    parsed = list(parse_warc(gunzip_members(g[0] + corrupt + g[2])))
+    assert [u for u, *_ in parsed] == ["https://a.test/",
+                                       "https://c.test/"]
+
+
+def test_streaming_parse_chunk_boundaries():
+    """iter_warc_stream / iter_gunzip_stream are boundary-insensitive:
+    pathological 7- and 5-byte chunks parse identically to one blob."""
+    from goskyr_spark.io.warc import (iter_gunzip_stream,
+                                      iter_warc_stream, write_warc_gz)
+
+    recs = [("https://a.test/x", build_http_response(b"<html>A</html>")),
+            ("https://b.test/y", build_http_response(b"B", status=404))]
+    blob = write_warc(recs)
+    out = list(iter_warc_stream(
+        blob[i:i + 7] for i in range(0, len(blob), 7)))
+    assert out == list(parse_warc(blob))
+    gz = write_warc_gz(recs)
+    out = list(iter_warc_stream(iter_gunzip_stream(
+        gz[i:i + 5] for i in range(0, len(gz), 5))))
+    assert out == list(parse_warc(blob))
+
+
+def test_streaming_memory_bounded():
+    """Peak parser memory is O(largest record), NOT O(archive): a
+    64 MiB stream of 1 MiB records parses in < 16 MiB traced peak
+    through both the plain and the gzip-member paths (the design point
+    is a multi-GB Common Crawl file in a fixed-size task)."""
+    import gzip
+    import tracemalloc
+
+    from goskyr_spark.io.warc import iter_gunzip_stream, iter_warc_stream
+
+    n_rec, body = 64, 1 << 20
+
+    def rec(i):
+        return write_warc([(f"https://h.test/p{i}", build_http_response(
+            bytes([i % 251]) * body))])
+
+    tracemalloc.start()
+    seen = sum(1 for _ in iter_warc_stream(
+        rec(i) for i in range(n_rec)))
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert seen == n_rec
+    assert peak < 16 * 2 ** 20, f"plain peak {peak/2**20:.1f} MiB"
+
+    tracemalloc.start()
+    seen = sum(1 for _ in iter_warc_stream(iter_gunzip_stream(
+        gzip.compress(rec(i), mtime=0) for i in range(n_rec))))
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert seen == n_rec
+    assert peak < 16 * 2 ** 20, f"gz peak {peak/2**20:.1f} MiB"
+
+
+def test_spark_source_batches_and_corrupt_member(spark, tmp_path):
+    """read_warc_pages streams: batch_rows smaller than the record
+    count exercises the multi-batch yield path, and a corrupt middle
+    gzip member drops only its own record."""
+    from goskyr_spark.io.warc import write_warc_gz
+
+    recs = [(f"https://h.test/p{i}", build_http_response(
+        f"<html>{i}</html>".encode())) for i in range(9)]
+    g = [write_warc_gz(recs[i:i + 1]) for i in range(9)]
+    g[4] = g[4][:10] + bytes(b ^ 0xFF for b in g[4][10:20]) + g[4][20:]
+    (tmp_path / "c.warc.gz").write_bytes(b"".join(g))
+    rows = read_warc_pages(spark, str(tmp_path / "c.warc.gz"),
+                           batch_rows=3).collect()
+    assert sorted(r["url"] for r in rows) == sorted(
+        u for i, (u, _) in enumerate(recs) if i != 4)
