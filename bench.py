@@ -202,7 +202,7 @@ def bench_queries(spark):
     picks = ["ex_text_css", "ex_date", "ex_items_explode", "dedup_exact",
              "dedup_minhash_lsh", "dedup_minhash_lsh_capped",
              "dedup_jaccard", "dedup_jaccard_capped", "dedup_components",
-             "dedup_components_capped",
+             "dedup_components_capped", "dedup_incremental",
              "dedup_simhash", "dedup_simhash64", "dedup_embed",
              "dedup_embed_capped",
              "txt_tokens", "txt_quality", "txt_langid", "txt_fingerprint",

@@ -155,6 +155,59 @@ def minhash_lsh_buckets_capped(documents, text_col="text", id_col="doc_id",
             .orderBy("band_id", "band_sig"))
 
 
+def minhash_index(documents, text_col="text", id_col="doc_id",
+                  num_perm=8, band_size=2, shingle_n=3):
+    """Persistable LSH index of a corpus: (doc_id, band_id, band_sig)
+    rows — write this once per corpus generation, then dedup every new
+    ingest batch against it with ``dedup_incremental`` WITHOUT
+    re-scanning corpus text. At scale, store it bucketed/partitioned by
+    band_sig so the incremental join is co-located."""
+    return _banded(documents, text_col, id_col, num_perm, band_size,
+                   shingle_n)
+
+
+def dedup_incremental(new_docs, index, text_col="text", id_col="doc_id",
+                      num_perm=8, band_size=2, shingle_n=3,
+                      max_bucket=None):
+    """Rolling-ingest near-dup detection: flag documents in a NEW batch
+    that LSH-collide with an EXISTING corpus, using only the corpus's
+    ``minhash_index`` — the corpus text is never touched. This is the
+    operation a continuous crawl needs every cycle (dedup this week's
+    pages against everything already kept).
+
+    Scale: one banding pass over the new batch (small), one join on
+    (band_id, band_sig) against the persisted index. With the index
+    partitioned by band_sig the shuffle moves only the batch side; AQE
+    broadcasts it outright when it fits. ``max_bucket`` drops degenerate
+    index band-sigs (stopword-class bands whose bucket holds a large
+    fraction of the corpus) so one new row cannot fan out into millions
+    of index rows.
+
+    Returns (doc_id, n_corpus_matches, best_bands): distinct corpus docs
+    collided with, and the max per-corpus-doc band agreement (out of
+    num_perm // band_size — a monotone proxy for estimated Jaccard).
+    Docs with no collision are absent; for the exact-verify production
+    step, semi-join corpus text down to the listed corpus ids and run
+    ngram_jaccard_pairs on that pruned slice."""
+    newb = _banded(new_docs, text_col, id_col, num_perm, band_size,
+                   shingle_n)
+    idx = index.select(F.col(id_col).alias("_corpus_id"),
+                       "band_id", "band_sig")
+    if max_bucket is not None:
+        keep = (idx.groupBy("band_id", "band_sig")
+                .agg(F.count("*").alias("_n"))
+                .filter(F.col("_n") <= max_bucket)
+                .drop("_n"))
+        idx = idx.join(keep, ["band_id", "band_sig"])
+    hits = (newb.join(idx, ["band_id", "band_sig"])
+            .groupBy(id_col, "_corpus_id")
+            .agg(F.count_distinct("band_id").alias("n_bands")))
+    return (hits.groupBy(id_col)
+            .agg(F.count("*").alias("n_corpus_matches"),
+                 F.max("n_bands").alias("best_bands"))
+            .orderBy(id_col))
+
+
 def ngram_jaccard_pairs(documents, text_col="text", id_col="doc_id",
                         threshold=0.5, shingle_n=3, max_df=None):
     """Exact Jaccard over word n-gram shingle SETS for pairs sharing at

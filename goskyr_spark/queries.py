@@ -316,6 +316,19 @@ def q_dedup_minhash_lsh_capped(spark, sf_dir):
                                       max_bucket=2)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Rolling-ingest near-dup detection (beyond-reference LLM-pipeline
+    op): the batch (doc_id % 4 == 0) is deduped against the LSH index
+    of the existing corpus (doc_id % 4 != 0) WITHOUT touching corpus
+    text — the every-cycle operation of a continuous crawl."""
+    from .ops.dedup import dedup_incremental, minhash_index
+
+    docs = documents(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    return dedup_incremental(batch, minhash_index(corpus))
+
+
 def q_dedup_jaccard(spark, sf_dir):
     from .ops.dedup import ngram_jaccard_pairs
 
@@ -1059,6 +1072,55 @@ def _minhash_oracle(num_perm=8, band_size=2, max_bucket=None):
 _MINHASH_ORACLE_TMPL = ORACLES_OPS["dedup_minhash_lsh"]
 ORACLES_OPS["dedup_minhash_lsh"] = _minhash_oracle()
 ORACLES_OPS["dedup_minhash_lsh_capped"] = _minhash_oracle(max_bucket=2)
+
+
+def _incremental_oracle(num_perm=8, band_size=2):
+    """Independent DuckDB computation of dedup_incremental: band ALL
+    docs once (banding is per-doc, so splitting before or after banding
+    is equivalent), then batch-vs-corpus collisions in the join filter."""
+    from .ops.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    base = "(('0x' || substr(md5(shingle), 1, 12))::BIGINT)"
+    sig_cols = ",\n                 ".join(
+        f"min(({MINHASH_A[k]} * {base} + {MINHASH_B[k]}) % {MINHASH_P}) "
+        f"AS sig_{k}" for k in range(num_perm))
+    bands = []
+    for b in range(num_perm // band_size):
+        cols = " || '|' || ".join(
+            f"CAST(sig_{k} AS VARCHAR)"
+            for k in range(b * band_size, (b + 1) * band_size))
+        bands.append(f"SELECT doc_id, {b} AS band_id, {cols} AS band_sig "
+                     "FROM sig")
+    bands_union = "\n          UNION ALL\n          ".join(bands)
+    return f"""
+        WITH sh AS (
+          SELECT doc_id, unnest(list_distinct(sh)) AS shingle FROM (
+            SELECT doc_id,
+                   [array_to_string(w[i:i+2], ' ')
+                    for i in range(1, greatest(len(w) - 2, 0) + 1)] AS sh
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(text), '\\s+') AS w
+                  FROM documents))),
+        sig AS (
+          SELECT doc_id,
+                 {sig_cols}
+          FROM sh GROUP BY doc_id),
+        bands AS (
+          {bands_union}
+        ),
+        hits AS (
+          SELECT n.doc_id AS doc_id, c.doc_id AS corpus_id,
+                 count(DISTINCT n.band_id) AS n_bands
+          FROM bands n
+          JOIN bands c USING (band_id, band_sig)
+          WHERE n.doc_id % 4 = 0 AND c.doc_id % 4 != 0
+          GROUP BY 1, 2)
+        SELECT doc_id, count(*) AS n_corpus_matches,
+               max(n_bands) AS best_bands
+        FROM hits GROUP BY doc_id ORDER BY doc_id"""
+
+
+ORACLES_OPS["dedup_incremental"] = _incremental_oracle()
 
 # connected components over the jaccard pairs: transitive closure via a
 # recursive CTE (UNION dedups, so the closure terminates), component =
@@ -1926,6 +1988,7 @@ def all_queries():
         # --- new in round 4 ---
         "curate_corpus_capped": q_curate_corpus_capped,
         "url_canonicalize_full": q_url_canonicalize_full,
+        "dedup_incremental": q_dedup_incremental,
         # --- covered in r03 ---
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,

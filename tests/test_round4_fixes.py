@@ -220,3 +220,38 @@ def test_pruned_antijoin_digest_unchanged(spark, tmp_path):
     ua = sorted(r["url"] for r in eng_a.t_fetched.read(spark).collect())
     ub = sorted(r["url"] for r in eng_b.t_fetched.read(spark).collect())
     assert ua == ub and len(ua) > 0
+
+
+def test_dedup_incremental_semantics(spark):
+    """Rolling-ingest dedup: an exact copy of a corpus doc collides on
+    ALL bands; an unrelated doc is absent from the output; max_bucket
+    drops a degenerate index band-sig shared by most of the corpus."""
+    from goskyr_spark.ops.dedup import dedup_incremental, minhash_index
+
+    corpus_rows = [(i, f"corpus doc {i} with shared running words "
+                       f"alpha beta gamma delta {i}") for i in range(10)]
+    # a degenerate corpus where every doc is identical (one band-sig
+    # bucket holds everything)
+    degen_rows = [(100 + i, "same same same same same same")
+                  for i in range(8)]
+    corpus = spark.createDataFrame(corpus_rows + degen_rows,
+                                   ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(1000, corpus_rows[3][1]),                  # exact copy of doc 3
+         (1001, "completely different text about unrelated things "
+                "quux xyzzy plugh foobar grault garply"),
+         (1002, "same same same same same same")],   # hits the degen class
+        ["doc_id", "text"])
+    idx = minhash_index(corpus)
+    out = {r["doc_id"]: r for r in
+           dedup_incremental(batch, idx).collect()}
+    assert out[1000]["best_bands"] == 4          # all bands agree
+    assert out[1000]["n_corpus_matches"] >= 1
+    assert 1001 not in out
+    assert out[1002]["n_corpus_matches"] == 8    # whole degen class
+    # skew guard: the degenerate bucket (8 members) is dropped from the
+    # index, so the copy of it no longer matches; normal dups unaffected
+    capped = {r["doc_id"]: r for r in
+              dedup_incremental(batch, idx, max_bucket=4).collect()}
+    assert 1002 not in capped
+    assert capped[1000]["best_bands"] == 4
