@@ -184,7 +184,103 @@ def cmd_generate(args):
     return 0
 
 
-def main(argv=None):
+def _parser_tree(parser):
+    """{subcommand: {option strings}} from the live argparse tree — the
+    completion scripts are GENERATED from this, so they can never drift
+    from the real CLI surface."""
+    tree = {}
+    for action in parser._actions:
+        if isinstance(action, argparse._SubParsersAction):
+            for name, sp in action.choices.items():
+                opts = []
+                for a in sp._actions:
+                    opts.extend(a.option_strings)
+                tree[name] = opts
+    return tree
+
+
+# option strings whose VALUE is a path — completed with filenames
+_FILE_OPTS = {"-c", "--config", "--file", "--pages", "--seeds",
+              "--workdir"}
+
+
+def completion_script(parser, shell):
+    """Shell completion for the CLI (reference parity:
+    /root/reference/completions/goskyr.bash + the kong completion
+    subcommand), generated from the argparse tree. bash and zsh share
+    the bash script (zsh via bashcompinit, the stock compatibility
+    path); fish gets native ``complete`` statements."""
+    prog = "goskyr-spark"
+    tree = _parser_tree(parser)
+    subs = " ".join(sorted(tree))
+    if shell in ("bash", "zsh"):
+        cases = []
+        for name in sorted(tree):
+            file_opts = " | ".join(sorted(
+                o for o in tree[name] if o in _FILE_OPTS))
+            if file_opts:
+                cases.append(
+                    f"    '{name}'*)\n"
+                    f"      case \"$prev\" in\n"
+                    f"        {file_opts})\n"
+                    "          COMPREPLY=($(compgen -A file -- \"$cur\"))"
+                    " ;;\n"
+                    "        *)\n"
+                    f"          COMPREPLY=($(compgen -W "
+                    f"\"{' '.join(tree[name])}\" -- \"$cur\")) ;;\n"
+                    "      esac ;;")
+            else:
+                cases.append(
+                    f"    '{name}'*)\n"
+                    f"      COMPREPLY=($(compgen -W "
+                    f"\"{' '.join(tree[name])}\" -- \"$cur\")) ;;")
+        body = "\n".join(cases)
+        script = f"""# bash completion for {prog} (generated: \
+`{prog} completion --shell bash`)
+_goskyr_spark_completions() {{
+  local cur=${{COMP_WORDS[COMP_CWORD]}}
+  local prev=${{COMP_WORDS[COMP_CWORD-1]}}
+  local compwords=("${{COMP_WORDS[@]:1:$COMP_CWORD-1}}")
+  local compline="${{compwords[*]}}"
+  case "$compline" in
+{body}
+    *)
+      COMPREPLY=($(compgen -W "{subs} --help -h" -- "$cur")) ;;
+  esac
+}} &&
+complete -F _goskyr_spark_completions {prog}
+"""
+        if shell == "zsh":
+            script = ("# zsh completion via bash compatibility "
+                      "(autoload -U +X bashcompinit && bashcompinit)\n"
+                      + script)
+        return script
+    if shell == "fish":
+        lines = [f"# fish completion for {prog} (generated)"]
+        for name in sorted(tree):
+            lines.append(
+                f"complete -c {prog} -n '__fish_use_subcommand' "
+                f"-a {name}")
+            for o in tree[name]:
+                if not o.startswith("--"):
+                    continue
+                flag = o[2:]
+                suffix = (" -r -F" if o in _FILE_OPTS or
+                          ("-" + flag[0]) in _FILE_OPTS else "")
+                lines.append(
+                    f"complete -c {prog} "
+                    f"-n '__fish_seen_subcommand_from {name}' "
+                    f"-l {flag}{suffix}")
+        return "\n".join(lines) + "\n"
+    raise ValueError(f"unsupported shell: {shell}")
+
+
+def cmd_completion(args):
+    print(completion_script(build_parser(), args.shell), end="")
+    return 0
+
+
+def build_parser():
     p = argparse.ArgumentParser(prog="goskyr_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -228,6 +324,17 @@ def main(argv=None):
                          "from the fetched-history table)")
     pc.set_defaults(fn=cmd_crawl)
 
+    pco = sub.add_parser("completion",
+                         help="emit a shell completion script")
+    pco.add_argument("-s", "--shell", default="bash",
+                     choices=["bash", "zsh", "fish"])
+    pco.set_defaults(fn=cmd_completion)
+
+    return p
+
+
+def main(argv=None):
+    p = build_parser()
     args = p.parse_args(argv)
     try:
         return args.fn(args)

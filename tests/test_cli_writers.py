@@ -196,3 +196,30 @@ def test_api_writer_non201_logs_and_continues(api_server, caplog):
     assert n == 0
     posts = [c for c in _Api.calls if c[0] == "POST"]
     assert len(posts) == 2  # both batches attempted
+
+
+def test_completion_generated_from_parser_tree():
+    """`completion` emits scripts GENERATED from the live argparse tree
+    (reference parity: completions/goskyr.bash + kong's completion
+    subcommand): every subcommand and long option appears, bash output
+    is syntactically valid, and the checked-in completions/ files match
+    regeneration (no drift)."""
+    import subprocess
+
+    from goskyr_spark.cli import build_parser, completion_script
+
+    parser = build_parser()
+    bash = completion_script(parser, "bash")
+    fish = completion_script(parser, "fish")
+    for sub in ("scrape", "list", "generate", "crawl", "completion"):
+        assert f"'{sub}'*" in bash and f"-a {sub}" in fish
+    for opt in ("--workdir", "--buckets", "--adaptive", "--min-occ",
+                "--shell", "--name"):
+        assert opt in bash
+    r = subprocess.run(["bash", "-n"], input=bash, text=True,
+                       capture_output=True)
+    assert r.returncode == 0, r.stderr
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "completions/goskyr-spark.bash")) as f:
+        assert f.read() == bash
