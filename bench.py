@@ -203,6 +203,7 @@ def bench_queries(spark):
              "dedup_minhash_lsh", "dedup_minhash_lsh_capped",
              "dedup_jaccard", "dedup_jaccard_capped", "dedup_components",
              "dedup_components_capped", "dedup_incremental",
+             "dedup_incremental_verified",
              "dedup_simhash", "dedup_simhash64", "dedup_embed",
              "dedup_embed_capped",
              "txt_tokens", "txt_quality", "txt_langid", "txt_fingerprint",

@@ -208,6 +208,51 @@ def dedup_incremental(new_docs, index, text_col="text", id_col="doc_id",
             .orderBy(id_col))
 
 
+def dedup_incremental_verified(new_docs, corpus_docs, index=None,
+                               text_col="text", id_col="doc_id",
+                               num_perm=8, band_size=2, shingle_n=3,
+                               threshold=0.5, max_bucket=None):
+    """The exact-verify production step after ``dedup_incremental``:
+    LSH candidates → exact n-gram Jaccard per (new, corpus) pair.
+
+    Scale: the candidate pair set is SMALL (LSH collisions only), so
+    joining it first prunes the corpus text scan to just collided docs
+    (broadcast/DPP-prunable) — the full corpus text is never shingled,
+    only candidates are. Per pair, Jaccard is a codegen'd
+    array_intersect over the two shingle arrays: no explode, no
+    shuffle beyond the two pruned joins.
+
+    Returns (doc_id, corpus_id, jaccard) for pairs ≥ threshold."""
+    if index is None:
+        index = minhash_index(corpus_docs, text_col, id_col, num_perm,
+                              band_size, shingle_n)
+    newb = _banded(new_docs, text_col, id_col, num_perm, band_size,
+                   shingle_n)
+    idx = index.select(F.col(id_col).alias("_corpus_id"),
+                       "band_id", "band_sig")
+    if max_bucket is not None:
+        keep = (idx.groupBy("band_id", "band_sig")
+                .agg(F.count("*").alias("_n"))
+                .filter(F.col("_n") <= max_bucket)
+                .drop("_n"))
+        idx = idx.join(keep, ["band_id", "band_sig"])
+    pairs = (newb.join(idx, ["band_id", "band_sig"])
+             .select(id_col, "_corpus_id").distinct())
+    a = new_docs.select(F.col(id_col),
+                        shingles_expr(text_col, shingle_n).alias("_sh_a"))
+    b = corpus_docs.select(F.col(id_col).alias("_corpus_id"),
+                           shingles_expr(text_col, shingle_n)
+                           .alias("_sh_b"))
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    uni = F.size("_sh_a") + F.size("_sh_b") - inter
+    return (pairs.join(a, id_col).join(b, "_corpus_id")
+            .select(F.col(id_col),
+                    F.col("_corpus_id").alias("corpus_id"),
+                    F.round(inter / uni, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+            .orderBy(id_col, "corpus_id"))
+
+
 def ngram_jaccard_pairs(documents, text_col="text", id_col="doc_id",
                         threshold=0.5, shingle_n=3, max_df=None):
     """Exact Jaccard over word n-gram shingle SETS for pairs sharing at

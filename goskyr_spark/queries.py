@@ -329,6 +329,18 @@ def q_dedup_incremental(spark, sf_dir):
     return dedup_incremental(batch, minhash_index(corpus))
 
 
+def q_dedup_incremental_verified(spark, sf_dir):
+    """LSH candidates from the corpus index, exact-Jaccard-verified per
+    (new, corpus) pair — the production two-phase rolling-ingest dedup
+    (candidates prune the corpus text scan; no full-corpus shingling)."""
+    from .ops.dedup import dedup_incremental_verified
+
+    docs = documents(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    return dedup_incremental_verified(batch, corpus, threshold=0.5)
+
+
 def q_dedup_jaccard(spark, sf_dir):
     from .ops.dedup import ngram_jaccard_pairs
 
@@ -1121,6 +1133,59 @@ def _incremental_oracle(num_perm=8, band_size=2):
 
 
 ORACLES_OPS["dedup_incremental"] = _incremental_oracle()
+
+
+def _incremental_verified_oracle(num_perm=8, band_size=2, threshold=0.5):
+    """Independent DuckDB computation of dedup_incremental_verified:
+    banding-collision pairs, then exact Jaccard via list_intersect on
+    the per-doc shingle lists."""
+    from .ops.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    base = "(('0x' || substr(md5(shingle), 1, 12))::BIGINT)"
+    sig_cols = ",\n                 ".join(
+        f"min(({MINHASH_A[k]} * {base} + {MINHASH_B[k]}) % {MINHASH_P}) "
+        f"AS sig_{k}" for k in range(num_perm))
+    bands = []
+    for b in range(num_perm // band_size):
+        cols = " || '|' || ".join(
+            f"CAST(sig_{k} AS VARCHAR)"
+            for k in range(b * band_size, (b + 1) * band_size))
+        bands.append(f"SELECT doc_id, {b} AS band_id, {cols} AS band_sig "
+                     "FROM sig")
+    bands_union = "\n          UNION ALL\n          ".join(bands)
+    jac = ("len(list_intersect(a.s, b.s)) * 1.0 / "
+           "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))")
+    return f"""
+        WITH shl AS (
+          SELECT doc_id, list_distinct(sh) AS s FROM (
+            SELECT doc_id,
+                   [array_to_string(w[i:i+2], ' ')
+                    for i in range(1, greatest(len(w) - 2, 0) + 1)] AS sh
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(text), '\\s+') AS w
+                  FROM documents))),
+        sh AS (SELECT doc_id, unnest(s) AS shingle FROM shl),
+        sig AS (
+          SELECT doc_id,
+                 {sig_cols}
+          FROM sh GROUP BY doc_id),
+        bands AS (
+          {bands_union}
+        ),
+        hits AS (
+          SELECT DISTINCT n.doc_id AS doc_id, c.doc_id AS corpus_id
+          FROM bands n
+          JOIN bands c USING (band_id, band_sig)
+          WHERE n.doc_id % 4 = 0 AND c.doc_id % 4 != 0)
+        SELECT h.doc_id, h.corpus_id, round({jac}, 6) AS jaccard
+        FROM hits h
+        JOIN shl a ON a.doc_id = h.doc_id
+        JOIN shl b ON b.doc_id = h.corpus_id
+        WHERE {jac} >= {threshold}
+        ORDER BY h.doc_id, h.corpus_id"""
+
+
+ORACLES_OPS["dedup_incremental_verified"] = _incremental_verified_oracle()
 
 # connected components over the jaccard pairs: transitive closure via a
 # recursive CTE (UNION dedups, so the closure terminates), component =
@@ -1989,6 +2054,7 @@ def all_queries():
         "curate_corpus_capped": q_curate_corpus_capped,
         "url_canonicalize_full": q_url_canonicalize_full,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_verified": q_dedup_incremental_verified,
         # --- covered in r03 ---
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,

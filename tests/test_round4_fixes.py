@@ -220,6 +220,10 @@ def test_pruned_antijoin_digest_unchanged(spark, tmp_path):
     ua = sorted(r["url"] for r in eng_a.t_fetched.read(spark).collect())
     ub = sorted(r["url"] for r in eng_b.t_fetched.read(spark).collect())
     assert ua == ub and len(ua) > 0
+    # non-adaptive crawls skip the per-round host_stats write job (only
+    # the adaptive dequeue consumes the table)
+    assert not eng_a.t_host_stats.exists()
+    assert not eng_b.t_host_stats.exists()
 
 
 def test_dedup_incremental_semantics(spark):
@@ -255,3 +259,35 @@ def test_dedup_incremental_semantics(spark):
               dedup_incremental(batch, idx, max_bucket=4).collect()}
     assert 1002 not in capped
     assert capped[1000]["best_bands"] == 4
+
+
+def test_dedup_incremental_verified_exact_jaccard(spark):
+    """Two-phase incremental dedup: LSH candidates then exact per-pair
+    Jaccard — an exact copy verifies at 1.0, a near-copy at its true
+    Jaccard, and a band-colliding-but-dissimilar pair is filtered by
+    the threshold."""
+    from goskyr_spark.ops.dedup import dedup_incremental_verified
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i} with shared running words "
+             f"alpha beta gamma delta {i}") for i in range(10)],
+        ["doc_id", "text"])
+    near = ("corpus doc 3 with shared running words "
+            "alpha beta gamma delta 3 extra")
+    batch = spark.createDataFrame(
+        [(1000, "corpus doc 3 with shared running words "
+                "alpha beta gamma delta 3"),      # exact copy of doc 3
+         (1001, near)],                           # near-copy of doc 3
+        ["doc_id", "text"])
+    out = {(r["doc_id"], r["corpus_id"]): r["jaccard"] for r in
+           dedup_incremental_verified(batch, corpus,
+                                      threshold=0.5).collect()}
+    assert out[(1000, 3)] == 1.0
+    # near-copy: 10 3-gram shingles in the 12-word copy, 11 in the
+    # 13-word `near`, all 10 shared → 10/11
+    assert out[(1001, 3)] == round(10 / 11, 6)
+    # high threshold drops the near-copy but keeps the exact one
+    strict = {(r["doc_id"], r["corpus_id"]) for r in
+              dedup_incremental_verified(batch, corpus,
+                                         threshold=0.95).collect()}
+    assert (1000, 3) in strict and (1001, 3) not in strict
