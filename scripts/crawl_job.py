@@ -39,7 +39,16 @@ def main():
                         "the seen-set test")
     p.add_argument("--warc", default="",
                    help="read pages from .warc/.warc.gz files at this "
-                        "path instead of --pages parquet")
+                        "path instead of --pages parquet (streamed: "
+                        "task memory is O(largest record), not archive "
+                        "size)")
+    p.add_argument("--compact-every", type=int, default=16,
+                   help="compact snapshot tables every N rounds; also "
+                        "bounds the dequeue anti-join, which only reads "
+                        "fetched files written AFTER the last "
+                        "compaction — per-round dequeue cost tracks "
+                        "work since compaction, never total crawl "
+                        "history")
     args = p.parse_args()
 
     spark = (SparkSession.builder.appName("goskyr-crawl")
@@ -80,7 +89,7 @@ def main():
                       frontier_buckets=args.buckets or None,
                       adaptive_priority=args.adaptive,
                       canonicalize_outlinks=args.canonicalize,
-                      compact_every=16,
+                      compact_every=args.compact_every,
                       now=datetime(2026, 3, 1, tzinfo=timezone.utc))
     for s in eng.run(max_rounds=args.max_rounds):
         print(s, flush=True)
