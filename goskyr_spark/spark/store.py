@@ -29,6 +29,13 @@ class SnapshotTable:
         self.dir = os.path.join(root, name)
         self.files_dir = os.path.join(self.dir, "files")
         os.makedirs(self.files_dir, exist_ok=True)
+        # committed manifests are IMMUTABLE (new state = new snapshot
+        # file), so they memoize safely. Without this, every
+        # snapshots()/file_rounds()/bucket_map() call re-reads the
+        # whole manifest chain from disk — O(total commits) JSON reads
+        # per dequeue round, which grows with crawl length (exactly the
+        # cost law the compaction-pruned anti-join removes elsewhere).
+        self._mcache = {}
 
     # --- snapshot bookkeeping -------------------------------------------------
 
@@ -43,8 +50,13 @@ class SnapshotTable:
         snap = snapshot if snapshot is not None else self.head()
         if snap == 0:
             return {"snapshot": 0, "parent": None, "files": [], "meta": {}}
-        with open(os.path.join(self.dir, f"manifest-{snap:06d}.json")) as f:
-            return json.load(f)
+        m = self._mcache.get(snap)
+        if m is None:
+            with open(os.path.join(self.dir,
+                                   f"manifest-{snap:06d}.json")) as f:
+                m = json.load(f)
+            self._mcache[snap] = m
+        return m
 
     def snapshots(self):
         out = []
