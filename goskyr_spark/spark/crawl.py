@@ -636,11 +636,12 @@ class CrawlEngine:
             tables.append(self.t_debug)
         for t in tables:
             self._rollback_table(t, last)
-        # legacy workdir (crawled before host_stats existed): backfill
-        # the feedback table from fetched ONCE; every later round stays
-        # incremental
-        if (not self.t_host_stats.exists() and self.t_fetched.exists()
-                and last >= 0):
+        # legacy/non-adaptive workdir resumed WITH adaptive priority:
+        # backfill the feedback table from fetched ONCE; every later
+        # round stays incremental. Non-adaptive resumes skip this (the
+        # table is only consumed by the adaptive dequeue).
+        if (self.adaptive_priority and not self.t_host_stats.exists()
+                and self.t_fetched.exists() and last >= 0):
             fetched = self.t_fetched.read(self.spark,
                                           schema=FETCHED_SCHEMA)
             self._hostpart_write(
@@ -1460,12 +1461,17 @@ class CrawlEngine:
                              {"round": round_no}, coalesce=out_coalesce)
         # incremental host feedback: THIS round's per-host delta (from
         # the same seq_sorted cache — no rescan), so the adaptive
-        # dequeue never re-aggregates fetched history
-        self._hostpart_write(
-            self.t_host_stats,
-            self._host_stats_delta(seq_sorted)
-            .withColumn("round", F.lit(round_no).cast("long")),
-            {"round": round_no}, coalesce=1)
+        # dequeue never re-aggregates fetched history. Only adaptive
+        # crawls consume the table, so non-adaptive crawls skip the
+        # per-round write job — unless the workdir already carries the
+        # table (an adaptive crawl resumed with the flag off must keep
+        # the deltas continuous for a later adaptive resume).
+        if self.adaptive_priority or self.t_host_stats.exists():
+            self._hostpart_write(
+                self.t_host_stats,
+                self._host_stats_delta(seq_sorted)
+                .withColumn("round", F.lit(round_no).cast("long")),
+                {"round": round_no}, coalesce=1)
         dequeued.unpersist()
 
         # --- outlinks → seen-set → new frontier rows
