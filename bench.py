@@ -103,11 +103,25 @@ def bench_crawl(spark, cores, digest=False, **engine_kw):
 
 
 def _best_of(fn, reps=2):
-    """Measurement hygiene (same protocol as bench_fetch_extract): one
-    warm-up run JITs the kernel path + fills the page cache, then the
-    fastest of ``reps`` timed runs counts — single unwarmed measurements
-    were ±40% noisy (round-2 verdict, 'what's wrong' #1)."""
-    fn()  # warm-up
+    """Measurement hygiene (same protocol as bench_fetch_extract): warm
+    up, then the fastest of ``reps`` timed runs counts — single unwarmed
+    measurements were ±40% noisy (round-2 verdict, 'what's wrong' #1).
+
+    Round-4 refinement: warm-up repeats until it stabilizes (next run
+    within 1.5× of the previous, max 3 passes) — one pass JITs the
+    kernel path and fills the page cache, but the heavier codegen'd
+    plans (posting-list jaccard, PQ/IVF) showed a 2× tail on their
+    SECOND run too when the JVM was young (measured: 14.7 → 6.9 → 6.6 s
+    on dedup_jaccard in a fresh session), which best-of-2 alone
+    mis-reports as a slow query."""
+    prev = None
+    for _ in range(3):
+        t0 = time.time()
+        fn()
+        wall = time.time() - t0
+        if prev is not None and wall <= prev * 1.5:
+            break
+        prev = wall
     best = None
     for _ in range(reps):
         t0 = time.time()
