@@ -152,3 +152,80 @@ def mixture_weights(documents, group_col="source", text_col="text",
             .select(group_col, "n_docs", "n_tokens", "weight",
                     "quota_tokens")
             .orderBy(group_col))
+
+
+def ingest_cycle(spark, workdir, docs, benchmark=None, threshold=0.5,
+                 max_df=512, max_bucket=256, min_words=50,
+                 min_stop_hits=2):
+    """One continuous-ingest curation cycle over a new document batch
+    against a ROLLING corpus (snapshot-store state in ``workdir``):
+
+      gopher gate → optional benchmark decontamination → in-batch
+      keeper election (capped Jaccard + components) → incremental
+      dedup against the persisted corpus minhash index (corpus text
+      only read for collided candidates) → split assignment → atomic
+      corpus + index append.
+
+    Returns per-stage counts. Idempotent at the corpus level:
+    re-ingesting an already-committed batch collides with itself in the
+    index and commits zero rows — which is also what makes the
+    streaming face (spark/streaming.py stream_curate) replay-safe
+    without batch-id bookkeeping.
+
+    Used by scripts/curate_job.py (one cycle per spark-submit) and
+    stream_curate (one cycle per micro-batch)."""
+    from datetime import datetime, timezone
+
+    from ..spark.store import SnapshotStore
+    from .dedup import (dedup_incremental_verified, dup_components,
+                        minhash_index, ngram_jaccard_pairs)
+    from .gopher import curate_gopher
+
+    store = SnapshotStore(workdir)
+    t_corpus = store.table("corpus")
+    t_index = store.table("index")
+    stats = {"batch": docs.count()}
+
+    gate = curate_gopher(docs, min_words=min_words,
+                         min_stop_hits=min_stop_hits) \
+        .filter(F.col("keep") == 1).select("doc_id")
+    kept = docs.join(gate, "doc_id")
+    stats["after_gopher"] = kept.count()
+
+    if benchmark is not None:
+        flags = contamination_flags(kept, benchmark)
+        kept = kept.join(flags.filter(F.col("contaminated") == 0)
+                         .select("doc_id"), "doc_id")
+        stats["after_decontaminate"] = kept.count()
+
+    pairs = ngram_jaccard_pairs(kept, threshold=threshold, max_df=max_df)
+    comp = dup_components(pairs)
+    kept = (kept.join(comp, kept["doc_id"] == comp["doc_id"], "left")
+            .filter(comp["component"].isNull()
+                    | (comp["component"] == kept["doc_id"]))
+            .select(kept["*"]))
+    stats["after_self_dedup"] = kept.count()
+
+    if t_corpus.exists() and t_index.exists():
+        corpus = t_corpus.read(spark).select("doc_id", "text")
+        index = t_index.read(spark)
+        dups = dedup_incremental_verified(
+            kept, corpus, index=index, threshold=threshold,
+            max_bucket=max_bucket).select("doc_id").distinct()
+        kept = kept.join(dups, "doc_id", "left_anti")
+        stats["after_corpus_dedup"] = kept.count()
+
+    kept = (kept.join(split_assign(kept), "doc_id")
+            .withColumn("_ingested",
+                        F.lit(datetime.now(timezone.utc).isoformat())))
+    n_out = kept.count()
+    if n_out:
+        t_corpus.append(kept.coalesce(max(1, n_out // 500_000 + 1)),
+                        {"cycle_rows": n_out})
+        idx_new = minhash_index(kept)
+        t_index.append(idx_new.coalesce(max(1, n_out // 500_000 + 1)),
+                       {"cycle_rows": n_out})
+    stats["committed"] = n_out
+    stats["corpus_total"] = (t_corpus.read(spark).count()
+                             if t_corpus.exists() else 0)
+    return stats

@@ -129,3 +129,53 @@ def stream_dedup_urls(spark, urls_dir, out_dir, checkpoint_dir=None,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_curate(spark, docs_dir, workdir, checkpoint_dir=None,
+                  available_now=True, max_files_per_trigger=1,
+                  docs_schema=None, **cycle_kw):
+    """Structured-Streaming face for corpus curation: a directory that
+    keeps receiving document-batch parquet drops → a rolling curated
+    corpus. Every micro-batch runs ONE full curation cycle
+    (ops.curate.ingest_cycle: Gopher gate, optional decontamination,
+    in-batch keeper election, incremental dedup against the corpus
+    minhash index, split, atomic corpus+index append) inside
+    ``foreachBatch`` — the idiomatic shape when a micro-batch needs
+    multiple sinks and iterative joins.
+
+    Replay safety is CONTENT-level, not batch-id-level: a replayed
+    micro-batch re-runs the cycle against a corpus that already
+    contains its docs, every row collides with itself in the index at
+    Jaccard 1.0, and the cycle commits zero rows — so the corpus is
+    exactly-once even though the snapshot append itself is not
+    idempotent (pytest-pinned for the batch job, same body here).
+
+    ``max_files_per_trigger=1`` makes each dropped file its own cycle
+    (dedup ordering follows drop order); raise it to batch drops.
+    Returns the StreamingQuery."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    if docs_schema is None:
+        docs_schema = StructType([
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ])
+    checkpoint_dir = checkpoint_dir or os.path.join(workdir,
+                                                    "_stream_checkpoint")
+    stream = (spark.readStream.schema(docs_schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(docs_dir))
+
+    def sink(batch_df, batch_id):
+        from ..ops.curate import ingest_cycle
+
+        stats = ingest_cycle(spark, workdir, batch_df, **cycle_kw)
+        print(f"stream_curate batch {batch_id}: {stats}", flush=True)
+
+    writer = (stream.writeStream
+              .foreachBatch(sink)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

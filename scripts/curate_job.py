@@ -32,7 +32,6 @@ Usage:
 import argparse
 import json
 import sys
-from datetime import datetime, timezone
 
 sys.path.insert(0, "/root/repo")
 
@@ -40,70 +39,13 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
-def run_cycle(spark, workdir, docs, benchmark=None, threshold=0.5,
-              max_df=512, max_bucket=256, min_words=50, min_stop_hits=2):
+def run_cycle(spark, workdir, docs, **cycle_kw):
     """One ingest cycle; returns per-stage counts. ``docs`` needs
-    (doc_id, text[, source])."""
-    from goskyr_spark.ops.curate import contamination_flags, split_assign
-    from goskyr_spark.ops.dedup import (dedup_incremental_verified,
-                                        dup_components, minhash_index,
-                                        ngram_jaccard_pairs)
-    from goskyr_spark.ops.gopher import curate_gopher
-    from goskyr_spark.spark.store import SnapshotStore
+    (doc_id, text[, source]). Thin wrapper over the packaged op (the
+    streaming face stream_curate shares the same body)."""
+    from goskyr_spark.ops.curate import ingest_cycle
 
-    store = SnapshotStore(workdir)
-    t_corpus = store.table("corpus")
-    t_index = store.table("index")
-    stats = {"batch": docs.count()}
-
-    # 1. Gopher gate — one scan, column expressions only
-    gate = curate_gopher(docs, min_words=min_words,
-                         min_stop_hits=min_stop_hits) \
-        .filter(F.col("keep") == 1).select("doc_id")
-    kept = docs.join(gate, "doc_id")
-    stats["after_gopher"] = kept.count()
-
-    # 2. benchmark decontamination (benchmark is small → broadcast)
-    if benchmark is not None:
-        flags = contamination_flags(kept, benchmark)
-        kept = kept.join(flags.filter(F.col("contaminated") == 0)
-                         .select("doc_id"), "doc_id")
-        stats["after_decontaminate"] = kept.count()
-
-    # 3. in-batch keeper election (capped pair generation)
-    pairs = ngram_jaccard_pairs(kept, threshold=threshold, max_df=max_df)
-    comp = dup_components(pairs)
-    kept = (kept.join(comp, kept["doc_id"] == comp["doc_id"], "left")
-            .filter(comp["component"].isNull()
-                    | (comp["component"] == kept["doc_id"]))
-            .select(kept["*"]))
-    stats["after_self_dedup"] = kept.count()
-
-    # 4. incremental dedup against the existing corpus
-    if t_corpus.exists() and t_index.exists():
-        corpus = t_corpus.read(spark).select("doc_id", "text")
-        index = t_index.read(spark)
-        dups = dedup_incremental_verified(
-            kept, corpus, index=index, threshold=threshold,
-            max_bucket=max_bucket).select("doc_id").distinct()
-        kept = kept.join(dups, "doc_id", "left_anti")
-        stats["after_corpus_dedup"] = kept.count()
-
-    # 5. split + 6. commit survivors and their index rows
-    kept = (kept.join(split_assign(kept), "doc_id")
-            .withColumn("_ingested",
-                        F.lit(datetime.now(timezone.utc).isoformat())))
-    n_out = kept.count()
-    if n_out:
-        t_corpus.append(kept.coalesce(max(1, n_out // 500_000 + 1)),
-                        {"cycle_rows": n_out})
-        idx_new = minhash_index(kept)
-        t_index.append(idx_new.coalesce(max(1, n_out // 500_000 + 1)),
-                       {"cycle_rows": n_out})
-    stats["committed"] = n_out
-    stats["corpus_total"] = (t_corpus.read(spark).count()
-                             if t_corpus.exists() else 0)
-    return stats
+    return ingest_cycle(spark, workdir, docs, **cycle_kw)
 
 
 def main():
