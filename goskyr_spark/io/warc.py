@@ -163,8 +163,15 @@ def iter_gunzip_stream(chunks):
 
     it = iter(chunks)
     d = zlib.decompressobj(wbits=31)          # 31 = gzip wrapper
+    fed = b""       # bytes fed to d since the CURRENT member began —
+    #                 kept because a corrupted deflate stream can
+    #                 silently consume bytes of FOLLOWING members
+    #                 before the corruption surfaces (often only at the
+    #                 CRC check), and those bytes must be rescannable
+    #                 for the next member's magic. Reset at every
+    #                 member boundary, so memory is O(compressed
+    #                 member), never O(archive).
     pending = b""
-    scanning = False          # True: looking for the next member magic
     while True:
         if not pending:
             nxt = next(it, None)
@@ -172,32 +179,40 @@ def iter_gunzip_stream(chunks):
                 return
             pending = bytes(nxt)
             continue
-        if scanning:
-            i = pending.find(b"\x1f\x8b\x08")
-            if i < 0:
-                pending = pending[-2:]        # magic may straddle
-                nxt = next(it, None)
-                if nxt is None:
-                    return
-                pending += bytes(nxt)
-                continue
-            pending = pending[i:]
-            d = zlib.decompressobj(wbits=31)
-            scanning = False
         try:
             out = d.decompress(pending)
         except zlib.error:
-            # corrupt member: everything fed since its start is lost;
-            # skip one byte (guaranteed progress) and hunt for the next
-            # member header
-            scanning = True
-            pending = pending[1:]
+            # corrupt member: rescan EVERYTHING fed since this member
+            # began (incl. bytes zlib already consumed) plus the unfed
+            # remainder; restart at the next plausible member header.
+            # find() from index 1 guarantees progress past a corrupt
+            # or false-positive start.
+            buf = fed + pending
+            i = buf.find(b"\x1f\x8b\x08", 1)
+            d = zlib.decompressobj(wbits=31)
+            fed = b""
+            if i >= 0:
+                pending = buf[i:]
+            else:
+                # next member not seen yet: keep a short tail (magic
+                # may straddle the chunk boundary) and pull the next
+                # chunk — one chunk consumed per pass guarantees
+                # progress. A straddled genuine header parses on the
+                # fresh decompressor; a garbage tail errors again and
+                # re-enters this handler with the magic in pending.
+                tail = buf[-2:] if len(buf) > 2 else buf
+                nxt = next(it, None)
+                if nxt is None:
+                    return
+                pending = tail + bytes(nxt)
             continue
+        fed += pending
         if out:
             yield out
         if d.eof:                              # member boundary
             pending = d.unused_data
             d = zlib.decompressobj(wbits=31)
+            fed = b""
         else:
             pending = b""
 

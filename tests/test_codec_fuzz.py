@@ -149,10 +149,14 @@ def test_warc_gz_corrupt_member_resync_fuzz(seed, chunk):
     chunks = [gz[i:i + chunk] for i in range(0, len(gz), chunk)]
     got = [u for u, *_ in iter_warc_stream(iter_gunzip_stream(chunks))]
     want_urls = [u for u, _ in recs]
-    # every record except the corrupt one (and possibly its successor)
-    # survives, in order. (A flip landing in the gzip header's mtime
-    # bytes is harmless — the corrupt record may then legitimately
-    # survive too, so only the lower bound is asserted.)
-    assert set(got) >= set(want_urls) - {want_urls[bad],
-                                         want_urls[bad + 1]}
-    assert got == [u for u in want_urls if u in set(got)]
+    # contract: every record except the corrupt one (and possibly its
+    # successor) survives, exactly once, in order. The corrupt member
+    # itself may legitimately emit SOMETHING — a header-byte flip
+    # (mtime) is harmless, and a payload flip streams a corrupted
+    # record before zlib notices at the CRC (streaming decompression
+    # cannot withhold output until checksum without buffering the
+    # whole member) — so only the healthy records are pinned.
+    healthy = set(want_urls) - {want_urls[bad], want_urls[bad + 1]}
+    assert set(got) >= healthy
+    healthy_got = [u for u in got if u in healthy]
+    assert healthy_got == [u for u in want_urls if u in healthy]
