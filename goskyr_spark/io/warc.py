@@ -89,7 +89,13 @@ def iter_warc_stream(chunks):
     always contains some — one bad record must never kill the task);
     non-response record types are ignored."""
     it = iter(chunks)
-    buf = b""
+    # bytearray, not bytes: ``buf += chunk`` is an in-place extend
+    # (amortized O(chunk)) and ``del buf[:n]`` moves only the surviving
+    # tail — with bytes concatenation each 1 MB chunk re-copied the
+    # whole accumulated buffer, O(R^2/chunk) memcpy for a record of
+    # size R (multi-GB of copying for a few-hundred-MB record even
+    # though peak MEMORY was bounded). Per-record work is now linear.
+    buf = bytearray()
     eof = False
 
     def more():
@@ -106,11 +112,11 @@ def iter_warc_stream(chunks):
         while not buf.startswith(b"WARC/"):
             nxt = buf.find(b"\r\n\r\nWARC/")
             if nxt >= 0:
-                buf = buf[nxt + 4:]
+                del buf[:nxt + 4]
                 continue
             # marker may straddle a chunk boundary: keep a small tail
             if len(buf) > 16:
-                buf = buf[-16:]
+                del buf[:-16]
             if not more():
                 return
         hdr_end = buf.find(b"\r\n\r\n")
@@ -119,19 +125,19 @@ def iter_warc_stream(chunks):
                 return
             hdr_end = buf.find(b"\r\n\r\n")
         headers = {}
-        for line in buf[:hdr_end].split(CRLF)[1:]:
+        for line in bytes(buf[:hdr_end]).split(CRLF)[1:]:
             k, _, v = line.partition(b":")
             headers[k.strip().lower()] = v.strip()
         try:
             length = int(headers.get(b"content-length", b""))
         except ValueError:
-            buf = buf[hdr_end + 4:]
+            del buf[:hdr_end + 4]
             continue
         need = hdr_end + 4 + length + 4     # block + trailing CRLFCRLF
         while len(buf) < need and not eof:
             more()
-        block = buf[hdr_end + 4:hdr_end + 4 + length]
-        buf = buf[need:]
+        block = bytes(buf[hdr_end + 4:hdr_end + 4 + length])
+        del buf[:need]
         if headers.get(b"warc-type") != b"response":
             continue
         uri = headers.get(b"warc-target-uri")

@@ -163,14 +163,24 @@ def ingest_cycle(spark, workdir, docs, benchmark=None, threshold=0.5,
       gopher gate → optional benchmark decontamination → in-batch
       keeper election (capped Jaccard + components) → incremental
       dedup against the persisted corpus minhash index (corpus text
-      only read for collided candidates) → split assignment → atomic
-      corpus + index append.
+      only read for collided candidates) → EXACT content-hash replay
+      guard (anti-join on the corpus's persisted ``_content_hash``
+      column — a column-pruned scan, no text read) → split assignment
+      → index append, then corpus append.
 
-    Returns per-stage counts. Idempotent at the corpus level:
-    re-ingesting an already-committed batch collides with itself in the
-    index and commits zero rows — which is also what makes the
-    streaming face (spark/streaming.py stream_curate) replay-safe
-    without batch-id bookkeeping.
+    Returns per-stage counts. Idempotent at the corpus level, by two
+    independent mechanisms: (1) the exact ``_content_hash`` anti-join
+    drops any doc whose text is already committed — unconditional,
+    unaffected by ``max_bucket`` capping of the LSH index; (2) the
+    minhash index catches near-duplicates. The commit is two snapshot
+    appends, ordered index-BEFORE-corpus on purpose: a crash between
+    them leaves orphan index rows pointing at absent corpus rows,
+    which is benign (the orphan bands make replayed docs collide
+    harder, never less), whereas the reverse order would leave
+    committed corpus text invisible to dedup. Either way the exact
+    guard makes replay converge — this is what lets the streaming face
+    (spark/streaming.py stream_curate) be replay-safe without batch-id
+    bookkeeping.
 
     Used by scripts/curate_job.py (one cycle per spark-submit) and
     stream_curate (one cycle per micro-batch)."""
@@ -206,25 +216,41 @@ def ingest_cycle(spark, workdir, docs, benchmark=None, threshold=0.5,
             .select(kept["*"]))
     stats["after_self_dedup"] = kept.count()
 
-    if t_corpus.exists() and t_index.exists():
-        corpus = t_corpus.read(spark).select("doc_id", "text")
-        index = t_index.read(spark)
-        dups = dedup_incremental_verified(
-            kept, corpus, index=index, threshold=threshold,
-            max_bucket=max_bucket).select("doc_id").distinct()
-        kept = kept.join(dups, "doc_id", "left_anti")
-        stats["after_corpus_dedup"] = kept.count()
+    kept = kept.withColumn("_content_hash", F.md5(F.col("text")))
+    if t_corpus.exists():
+        corpus_full = t_corpus.read(spark)
+        if t_index.exists():
+            corpus = corpus_full.select("doc_id", "text")
+            index = t_index.read(spark)
+            dups = dedup_incremental_verified(
+                kept, corpus, index=index, threshold=threshold,
+                max_bucket=max_bucket).select("doc_id").distinct()
+            kept = kept.join(dups, "doc_id", "left_anti")
+            stats["after_corpus_dedup"] = kept.count()
+        # Exact replay guard: unconditional content-level idempotency,
+        # independent of LSH bucket capping. Reads ONLY the persisted
+        # hash column (column-pruned parquet scan, no corpus text);
+        # pre-_content_hash corpora fall back to computing it.
+        if "_content_hash" in corpus_full.columns:
+            seen_h = corpus_full.select("_content_hash")
+        else:
+            seen_h = corpus_full.select(
+                F.md5(F.col("text")).alias("_content_hash"))
+        kept = kept.join(seen_h.distinct(), "_content_hash", "left_anti")
+        stats["after_exact_guard"] = kept.count()
 
     kept = (kept.join(split_assign(kept), "doc_id")
             .withColumn("_ingested",
                         F.lit(datetime.now(timezone.utc).isoformat())))
     n_out = kept.count()
     if n_out:
-        t_corpus.append(kept.coalesce(max(1, n_out // 500_000 + 1)),
-                        {"cycle_rows": n_out})
+        # index BEFORE corpus: a crash in between leaves benign orphan
+        # index rows; the exact guard keeps replay convergent either way
         idx_new = minhash_index(kept)
         t_index.append(idx_new.coalesce(max(1, n_out // 500_000 + 1)),
                        {"cycle_rows": n_out})
+        t_corpus.append(kept.coalesce(max(1, n_out // 500_000 + 1)),
+                        {"cycle_rows": n_out})
     stats["committed"] = n_out
     stats["corpus_total"] = (t_corpus.read(spark).count()
                              if t_corpus.exists() else 0)

@@ -1,0 +1,107 @@
+"""Round-5 ADVICE fixes, pinned.
+
+1. ingest_cycle commit order + exact guard: a crash between the index
+   append and the corpus append (simulated) leaves only benign orphan
+   index rows; replaying the batch commits it exactly once and a
+   further replay commits zero (ADVICE r4, medium).
+2. Exact content-hash guard beats LSH bucket capping: with max_bucket=1
+   every index bucket is over-capped so LSH self-collision finds
+   nothing, yet replay still commits zero rows (ADVICE r4, low).
+3. iter_warc_stream parses a record that spans many small chunks
+   byte-exactly (the bytearray rewrite that made per-record work
+   linear; ADVICE r4, low).
+"""
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from goskyr_spark.spark.session import get_spark
+
+    return get_spark(app="round5-fix-tests", master="local[4]",
+                     shuffle_partitions=4)
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text").filter(F.col("doc_id") < 200)
+
+
+KW = dict(min_words=40, min_stop_hits=1)
+
+
+def test_crash_between_appends_replay_converges(spark, docs, tmp_path,
+                                                monkeypatch):
+    from goskyr_spark.ops.curate import ingest_cycle
+    from goskyr_spark.spark import store as store_mod
+
+    wd = str(tmp_path / "corpus")
+    orig = store_mod.SnapshotTable.append
+
+    def crash_on_corpus(self, df, meta=None, partition_by=None):
+        if self.name == "corpus":
+            raise RuntimeError("simulated crash between appends")
+        return orig(self, df, meta=meta, partition_by=partition_by)
+
+    monkeypatch.setattr(store_mod.SnapshotTable, "append", crash_on_corpus)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ingest_cycle(spark, wd, docs, **KW)
+    monkeypatch.setattr(store_mod.SnapshotTable, "append", orig)
+
+    # crash state: index rows committed, zero corpus rows — the benign
+    # orphan direction the index-before-corpus order guarantees
+    from goskyr_spark.spark.store import SnapshotStore
+
+    st = SnapshotStore(wd)
+    assert st.table("index").exists()
+    assert not st.table("corpus").exists()
+
+    # replay: batch commits exactly once despite the orphan index rows
+    s1 = ingest_cycle(spark, wd, docs, **KW)
+    assert s1["committed"] > 0
+    assert s1["corpus_total"] == s1["committed"]
+
+    # second replay: exact guard drops everything
+    s2 = ingest_cycle(spark, wd, docs, **KW)
+    assert s2["committed"] == 0
+    assert s2["corpus_total"] == s1["committed"]
+
+
+def test_exact_guard_survives_bucket_capping(spark, docs, tmp_path):
+    from goskyr_spark.ops.curate import ingest_cycle
+
+    wd = str(tmp_path / "corpus")
+    # max_bucket=1: every multi-member LSH bucket is over-capped, so
+    # the index-based dedup cannot self-collide a replayed batch —
+    # before the exact guard this permanently duplicated the corpus
+    s1 = ingest_cycle(spark, wd, docs, max_bucket=1, **KW)
+    assert s1["committed"] > 0
+    s2 = ingest_cycle(spark, wd, docs, max_bucket=1, **KW)
+    assert "after_exact_guard" in s2
+    assert s2["committed"] == 0
+    assert s2["corpus_total"] == s1["corpus_total"]
+
+
+def test_warc_large_record_many_chunks_roundtrip():
+    from goskyr_spark.io.warc import (build_http_response,
+                                      iter_warc_stream, write_warc)
+
+    body = bytes(range(256)) * (1 << 14)        # 4 MiB deterministic body
+    records = [("https://big.test/one", 200, body),
+               ("https://big.test/two", 404, b"tiny")]
+    blob = write_warc((u, build_http_response(b, status=s))
+                      for u, s, b in records)
+    chunks = [blob[i:i + 4096] for i in range(0, len(blob), 4096)]
+    out = list(iter_warc_stream(iter(chunks)))
+    assert [(u, s) for u, s, _ in out] == \
+        [(u, s) for u, s, _ in records]
+    assert out[0][2] == body and out[1][2] == b"tiny"
