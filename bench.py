@@ -208,10 +208,106 @@ def F_contains_list():
     return F.col("url").contains("/list/")
 
 
+_LIVE_CFG = """
+scrapers:
+  - name: live
+    url: x
+    item: div.e
+    fields:
+      - name: t
+        location: {selector: span.t}
+      - name: next
+        type: url
+        can_be_empty: true
+        location: {selector: a.next, attr: href}
+"""
+
+
+def bench_live_crawl(spark, cores):
+    """Real-socket crawl throughput: the live fetch path (HTTP GETs,
+    robots.txt per host, wall-clock crawl-delay sleeps) against a local
+    multi-host site. Distinct hosts are distinct 127.0.0.0/8 loopback
+    addresses served by ONE threading server bound to 0.0.0.0 —
+    url_host() keys politeness by hostname, so each address is an
+    independent politeness domain, exactly like distinct servers.
+
+    Politeness is ON (Crawl-delay: 0.02); the reported urls/sec is
+    therefore a floor — it includes mandatory sleeps, robots fetches,
+    and extraction, i.e. the number a production operator would see."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from goskyr_spark.config import loads_config
+    from goskyr_spark.spark.crawl import CrawlEngine
+    from goskyr_spark.spark.fetchers import StaticFetcher
+
+    n_hosts = max(16, int(250 * SF / 0.1))
+    pages_per_host = 6
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def do_GET(self):
+            if self.path == "/robots.txt":
+                body = b"User-agent: *\nCrawl-delay: 0.02\n"
+            elif self.path.startswith("/list/"):
+                p = int(self.path.rsplit("/", 1)[1])
+                items = "".join(
+                    f'<div class="e"><span class="t">i{p}-{i}</span></div>'
+                    for i in range(12))
+                nxt = (f'<div class="e"><span class="t">n</span>'
+                       f'<a class="next" href="/list/{p + 1}">n</a></div>'
+                       if p < pages_per_host else "")
+                body = (items + nxt).encode()
+            else:
+                self.send_response(404)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("0.0.0.0", 0), Handler)
+    srv.daemon_threads = True
+    port = srv.server_port
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    def host(i):
+        return f"127.0.{i // 250}.{i % 250 + 1}"
+
+    seeds = [f"http://{host(i)}:{port}/list/1" for i in range(n_hosts)]
+    scraper = loads_config(_LIVE_CFG).scrapers[0]
+    wd = tempfile.mkdtemp(prefix="goskyr-live-bench-")
+    try:
+        eng = CrawlEngine(spark, wd, None, lambda h: scraper, seeds,
+                          now=NOW, fetch_partitions=cores * 2,
+                          round_budget=10_000_000,
+                          live_fetcher=lambda: StaticFetcher(timeout=10))
+        t0 = time.time()
+        summaries = eng.run(max_rounds=pages_per_host + 2)
+        wall = time.time() - t0
+        n_fetched = sum(s.get("n_dequeued", 0) for s in summaries)
+        n_items = sum(s.get("n_items", 0) for s in summaries)
+        return {"wall": wall, "urls": n_fetched, "items": n_items,
+                "hosts": n_hosts,
+                "urls_per_sec": n_fetched / wall if wall else 0.0}
+    finally:
+        srv.shutdown()
+        shutil.rmtree(wd, ignore_errors=True)
+
+
 def bench_queries(spark):
     """Per-query wall times for the catalog's heavier operators —
-    warm-up + best-of-2 per query (see _best_of)."""
-    from goskyr_spark.queries import all_queries
+    warm-up + best-of-2 per query (see _best_of). Retired demo twins
+    (extra_queries) keep their bench rows for round-over-round
+    comparability."""
+    from goskyr_spark.queries import all_queries, extra_queries
 
     picks = ["ex_text_css", "ex_date", "ex_items_explode", "dedup_exact",
              "dedup_minhash_lsh", "dedup_minhash_lsh_capped",
@@ -226,6 +322,7 @@ def bench_queries(spark):
              "sim_ann_ivf", "sim_ann_ivf_probed",
              "sim_ivf_train", "sim_ann_ivf_trained",
              "sim_pq_train", "sim_ann_pq", "sim_ann_pq_rerank",
+             "sim_ann_pq_indexed",
              "txt_repetition", "txt_gopher_quality", "txt_c4_clean",
              "curate_gopher", "curate_corpus", "curate_corpus_capped",
              "url_canonicalize", "url_canonicalize_full",
@@ -233,7 +330,8 @@ def bench_queries(spark):
              "curate_keep", "curate_decontaminate", "curate_split",
              "curate_mixture", "warc_roundtrip",
              "curate_token_budget"]
-    qs = all_queries()
+    qs = dict(extra_queries())
+    qs.update(all_queries())
     out = {}
     for name in picks:
         out[name] = round(
@@ -274,6 +372,8 @@ def main():
     spark = make_spark(CPUS)
     extract_big = bench_extract(spark, CPUS)
     per_query = bench_queries(spark)
+    # live-socket crawl (real GETs + robots + wall-clock politeness)
+    crawl_live = bench_live_crawl(spark, CPUS)
     spark.stop()
 
     scaling = None
@@ -314,6 +414,7 @@ def main():
     per_query["crawl_full"] = round(crawl_big["wall"], 3)
     per_query["crawl_bucketed"] = round(crawl_bucketed["wall"], 3)
     per_query["crawl_adaptive"] = round(crawl_adaptive["wall"], 3)
+    per_query["crawl_live"] = round(crawl_live["wall"], 3)
     per_query["extract_pipeline"] = round(extract_big["wall"], 3)
     out = {
         "metric": "crawl_urls_per_sec",
@@ -331,10 +432,40 @@ def main():
         "crawl_adaptive": {
             k: round(v, 3) if isinstance(v, float) else v
             for k, v in crawl_adaptive.items()},
+        "crawl_live": {k: round(v, 3) if isinstance(v, float) else v
+                       for k, v in crawl_live.items()},
         "extract_rows_per_sec": round(extract_big["rows_per_sec"], 2),
         "scaling": scaling,
     }
-    print(json.dumps(out))
+    # full results on disk (round-over-round record, no size limit)...
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH"), exist_ok=True)
+    latest = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH", "latest.json")
+    with open(latest, "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
+    # ...and a COMPACT headline as the LAST printed line: the driver
+    # tail-captures stdout with a bounded window (BENCH_r04's 2.3 KB
+    # line was cut mid-object → "parsed": null), so the final line
+    # carries only the contract fields + scaling, 2-decimal floats,
+    # no spaces. Everything else lives in BENCH/latest.json.
+    top = ["crawl_full", "crawl_bucketed", "crawl_adaptive", "crawl_live",
+           "extract_pipeline"]
+    headline = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": {k: round(per_query[k], 2) for k in top},
+        "all_queries_in": "BENCH/latest.json",
+        "sf": SF,
+        "scaling": scaling,
+        "crawl_urls_per_sec": round(crawl_big["urls_per_sec"], 2),
+        "live_urls_per_sec": round(crawl_live["urls_per_sec"], 2),
+        "extract_rows_per_sec": round(extract_big["rows_per_sec"], 2),
+        "bucketed_digest_identical": out["bucketed_digest_identical"],
+    }
+    print(json.dumps(headline, separators=(",", ":")))
 
 
 if __name__ == "__main__":

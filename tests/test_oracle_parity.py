@@ -55,8 +55,16 @@ def _rows(records, cols):
     return sorted(tuple(_norm(r[c]) for c in cols) for r in records)
 
 
+from goskyr_spark import queries as _qmod
+
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
+# demo/uncapped variants retired from the driver's 50-row window keep
+# full oracle parity here — the union gate the catalog comment promises
+for _name, _fn in _qmod.extra_queries().items():
+    QUERIES[_name] = (lambda spark, sf_dir, _f=_fn:
+                      (entrymod._ensure_shipped(spark), _f(spark, sf_dir))[1])
+ORACLES.update(_qmod.extra_oracles())
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))

@@ -188,3 +188,29 @@ def test_curate_keep_single_corpus_pass(spark):
     runtime = final.split("Initial Plan")[0]
     assert "BroadcastHashJoin" in runtime, final
     assert "SortMergeJoin" not in runtime, final
+
+
+def test_pq_indexed_scans_codes_not_embeddings(spark, tmp_path):
+    """The indexed ADC query must scan ONLY the persisted integer code
+    table — at 100 TB that is m bytes/vector instead of 4*dim. The
+    embeddings column must not appear anywhere in the plan, and the
+    result must be row-identical to the recompute-from-vectors path."""
+    from goskyr_spark.ops.similarity import (ann_topk_pq, ann_topk_pq_indexed,
+                                             pq_index, pq_train)
+    from goskyr_spark.queries import embeddings
+
+    emb = embeddings(spark, SF_DIR)
+    books, _ = pq_train(emb, m=2, n_centroids=4, n_iter=2)
+    path = str(tmp_path / "codes.parquet")
+    pq_index(emb, books).write.parquet(path)
+    codes = spark.read.parquet(path)
+    qvec = emb.filter("vec_id = 0").select("embedding").first()[0]
+    df = ann_topk_pq_indexed(codes, books, qvec, query_vec_id=0, k=10)
+    plan = _plan(df)
+    assert "codes.parquet" in plan
+    assert "embedding" not in plan
+    scan = plan[plan.index("Scan parquet"):]
+    read_schema = scan[scan.index("ReadSchema"):].splitlines()[0]
+    assert "code_0" in read_schema and "code_1" in read_schema
+    baseline = ann_topk_pq(emb, books, query_vec_id=0, k=10).collect()
+    assert df.collect() == baseline
