@@ -14,6 +14,11 @@ complete -c goskyr-spark -n '__fish_seen_subcommand_from crawl' -l max-rounds
 complete -c goskyr-spark -n '__fish_seen_subcommand_from crawl' -l buckets
 complete -c goskyr-spark -n '__fish_seen_subcommand_from crawl' -l canonicalize -r -F
 complete -c goskyr-spark -n '__fish_seen_subcommand_from crawl' -l adaptive
+complete -c goskyr-spark -n '__fish_use_subcommand' -a extract
+complete -c goskyr-spark -n '__fish_seen_subcommand_from extract' -l help
+complete -c goskyr-spark -n '__fish_seen_subcommand_from extract' -l config -r -F
+complete -c goskyr-spark -n '__fish_seen_subcommand_from extract' -l out-file -r -F
+complete -c goskyr-spark -n '__fish_seen_subcommand_from extract' -l word-lists -r -F
 complete -c goskyr-spark -n '__fish_use_subcommand' -a generate
 complete -c goskyr-spark -n '__fish_seen_subcommand_from generate' -l help
 complete -c goskyr-spark -n '__fish_seen_subcommand_from generate' -l file -r -F
@@ -26,3 +31,6 @@ complete -c goskyr-spark -n '__fish_use_subcommand' -a scrape
 complete -c goskyr-spark -n '__fish_seen_subcommand_from scrape' -l help
 complete -c goskyr-spark -n '__fish_seen_subcommand_from scrape' -l config -r -F
 complete -c goskyr-spark -n '__fish_seen_subcommand_from scrape' -l name
+complete -c goskyr-spark -n '__fish_use_subcommand' -a train
+complete -c goskyr-spark -n '__fish_seen_subcommand_from train' -l help
+complete -c goskyr-spark -n '__fish_seen_subcommand_from train' -l feature-file -r -F

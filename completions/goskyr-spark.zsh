@@ -15,6 +15,13 @@ _goskyr_spark_completions() {
         *)
           COMPREPLY=($(compgen -W "-h --help --workdir -c --config --live --pages --seeds --hosts --max-rounds --buckets --canonicalize --adaptive" -- "$cur")) ;;
       esac ;;
+    'extract'*)
+      case "$prev" in
+        --config | --out-file | --word-lists | -c | -o | -w)
+          COMPREPLY=($(compgen -A file -- "$cur")) ;;
+        *)
+          COMPREPLY=($(compgen -W "-h --help -c --config -o --out-file -w --word-lists" -- "$cur")) ;;
+      esac ;;
     'generate'*)
       case "$prev" in
         --file)
@@ -36,8 +43,15 @@ _goskyr_spark_completions() {
         *)
           COMPREPLY=($(compgen -W "-h --help -c --config -n --name" -- "$cur")) ;;
       esac ;;
+    'train'*)
+      case "$prev" in
+        --feature-file | -f)
+          COMPREPLY=($(compgen -A file -- "$cur")) ;;
+        *)
+          COMPREPLY=($(compgen -W "-h --help -f --feature-file" -- "$cur")) ;;
+      esac ;;
     *)
-      COMPREPLY=($(compgen -W "completion crawl generate list scrape --help -h" -- "$cur")) ;;
+      COMPREPLY=($(compgen -W "completion crawl extract generate list scrape train --help -h" -- "$cur")) ;;
   esac
 } &&
 complete -F _goskyr_spark_completions goskyr-spark

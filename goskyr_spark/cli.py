@@ -184,6 +184,80 @@ def cmd_generate(args):
     return 0
 
 
+def cmd_extract(args):
+    """`extract` parity (cmd/goskyr/main.go:300-318, ml.go:55-74):
+    raw-mode scrape every scraper in the config, compute the 34-dim
+    feature vector per (field, value), write the reference's CSV."""
+    import os
+
+    from .ops.mlfeatures import features_row, write_features_csv
+    from .ops.wordlist import default_words, load_words
+
+    cfg = load_config(args.config)
+    if os.path.exists(args.word_lists):
+        word_set = load_words(args.word_lists)
+    else:
+        # the reference hard-errors on a missing word-lists dir
+        # (ml.go:77 WalkDir); default to the built-in deterministic
+        # dictionary so the command works out of the box, loudly.
+        print(f"word-lists dir '{args.word_lists}' not found; using the "
+              "built-in dictionary", file=sys.stderr)
+        word_set = default_words()
+
+    rows = []
+
+    def run_one(s):
+        # rawDyn scrape: no subpages, no date assembly (scraper.go
+        # Scrape(true)); failures log + continue like the reference's
+        # calculateScraperFeatures (ml.go:139-146)
+        try:
+            items, _ = scrape_local(s, _fetch_fn(s), raw_dyn=True)
+            return s.name, items, None
+        except Exception as e:
+            return s.name, [], str(e)
+
+    workers = min(20, max(1, len(cfg.scrapers)))
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        for name, items, err in pool.map(run_one, cfg.scrapers):
+            if err:
+                print(f"{name} ERROR: {err}", file=sys.stderr)
+                continue
+            for item in items:
+                for fname, fvalue in item.items():
+                    if not isinstance(fvalue, str):
+                        continue
+                    rows.append((features_row(fvalue, word_set), fname))
+    write_features_csv(rows, args.out_file)
+    print(f"wrote {len(rows)} feature rows to {args.out_file}",
+          file=sys.stderr)
+    return 0
+
+
+def cmd_train(args):
+    """`train` parity (main.go:321-332, ml.go:221-258): 75/25 split,
+    euclidean KNN k=2, print the confusion summary, write
+    goskyr.model + goskyr.class (class values in training-data order)."""
+    from .ops.mlfeatures import (confusion_summary, read_features_csv,
+                                 train_model)
+
+    X, y = read_features_csv(args.feature_file)
+    if not len(X):
+        print(f"no feature rows in {args.feature_file}", file=sys.stderr)
+        return 1
+    model, _acc, (y_true, y_pred) = train_model(X, y, return_test=True)
+    print(confusion_summary(y_true, y_pred))
+    model_file, classes_file = "goskyr.model", "goskyr.class"
+    model.save(model_file)
+    with open(classes_file, "w", encoding="utf-8") as fh:
+        # first-appearance order over the TRAINING split, matching
+        # golearn's CategoricalAttribute.GetValues (ml.go:248)
+        for value in dict.fromkeys(model.y):
+            fh.write(f"{value}\n")
+    print(f"storing model to files {model_file} and {classes_file}",
+          file=sys.stderr)
+    return 0
+
+
 def _parser_tree(parser):
     """{subcommand: {option strings}} from the live argparse tree — the
     completion scripts are GENERATED from this, so they can never drift
@@ -201,7 +275,8 @@ def _parser_tree(parser):
 
 # option strings whose VALUE is a path — completed with filenames
 _FILE_OPTS = {"-c", "--config", "--file", "--pages", "--seeds",
-              "--workdir"}
+              "--workdir", "-o", "--out-file", "-w", "--word-lists",
+              "-f", "--feature-file"}
 
 
 def completion_script(parser, shell):
@@ -323,6 +398,24 @@ def build_parser():
                          " hosts earlier, failing hosts later (feedback "
                          "from the fetched-history table)")
     pc.set_defaults(fn=cmd_crawl)
+
+    pe = sub.add_parser("extract",
+                        help="extract ML features from a config's "
+                             "scrapers (raw mode) to a CSV file")
+    pe.add_argument("-c", "--config", default="./config.yml")
+    pe.add_argument("-o", "--out-file", required=True,
+                    help="output CSV (reference feature-file format)")
+    pe.add_argument("-w", "--word-lists", default="word-lists",
+                    help="directory of word-list files (one word per "
+                         "line); built-in dictionary if missing")
+    pe.set_defaults(fn=cmd_extract)
+
+    pt = sub.add_parser("train",
+                        help="train the KNN field classifier; writes "
+                             "goskyr.model and goskyr.class")
+    pt.add_argument("-f", "--feature-file", required=True,
+                    help="CSV produced by `extract`")
+    pt.set_defaults(fn=cmd_train)
 
     pco = sub.add_parser("completion",
                          help="emit a shell completion script")

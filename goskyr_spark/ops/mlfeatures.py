@@ -113,7 +113,11 @@ class KNNClassifier:
         return np.array(out)
 
     def save(self, path):
-        np.savez(path, X=self.X, y=self.y, k=self.k)
+        # np.savez appends ".npz" to bare string paths; writing through
+        # a file object preserves the exact name so the CLI can honor
+        # the reference's literal "goskyr.model" contract (ml.go:242)
+        with open(path, "wb") as fh:
+            np.savez(fh, X=self.X, y=self.y, k=self.k)
 
     @classmethod
     def load(cls, path):
@@ -123,8 +127,13 @@ class KNNClassifier:
         return m
 
 
-def train_model(features, labels, split=0.75, k=2, seed=42):
-    """TrainModel analog: split, fit, return (model, accuracy)."""
+def train_model(features, labels, split=0.75, k=2, seed=42,
+                return_test=False):
+    """TrainModel analog: split, fit, return (model, accuracy).
+
+    With return_test=True also returns (y_true, y_pred) for the
+    held-out quarter so the CLI can print a confusion summary
+    (the reference prints golearn's GetSummary, ml.go:239)."""
     rng = np.random.default_rng(seed)
     X = np.asarray(features, dtype=np.float64)
     y = np.asarray(labels)
@@ -133,7 +142,67 @@ def train_model(features, labels, split=0.75, k=2, seed=42):
     tr, te = idx[:cut], idx[cut:]
     model = KNNClassifier(k).fit(X[tr], y[tr])
     if len(te):
-        acc = float((model.predict(X[te]) == y[te]).mean())
+        y_pred = model.predict(X[te])
+        acc = float((y_pred == y[te]).mean())
     else:
+        y_pred = np.array([])
         acc = float("nan")
+    if return_test:
+        return model, acc, (y[te], y_pred)
     return model, acc
+
+
+def confusion_summary(y_true, y_pred):
+    """Per-class TP/FP/FN + precision/recall/F1 table (GetSummary
+    analog, ml.go:236-239). Returns a printable string."""
+    classes = sorted(set(map(str, y_true)) | set(map(str, y_pred)))
+    lines = ["class\ttp\tfp\tfn\tprecision\trecall\tf1"]
+    yt = np.asarray([str(v) for v in y_true])
+    yp = np.asarray([str(v) for v in y_pred])
+    for c in classes:
+        tp = int(np.sum((yt == c) & (yp == c)))
+        fp = int(np.sum((yt != c) & (yp == c)))
+        fn = int(np.sum((yt == c) & (yp != c)))
+        prec = tp / (tp + fp) if tp + fp else 0.0
+        rec = tp / (tp + fn) if tp + fn else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+        lines.append(f"{c}\t{tp}\t{fp}\t{fn}\t{prec:.4f}\t{rec:.4f}"
+                     f"\t{f1:.4f}")
+    acc = float(np.mean(yt == yp)) if len(yt) else float("nan")
+    lines.append(f"overall accuracy: {acc:.4f} ({len(yt)} test rows)")
+    return "\n".join(lines)
+
+
+# CSV feature-file contract (writeFeaturesToFile, ml.go:99-137):
+# header "a, b, ..., z, digit-count, rune-count, ..., class", rows
+# joined with ", " — dashes in the header, underscores in the column
+# constants above.
+CSV_HEADER = ([chr(97 + i) for i in range(26)] +
+              [n.replace("_", "-") for n in FEATURE_NAMES[26:]] +
+              ["class"])
+
+
+def write_features_csv(rows, path):
+    """Write (features:list[int], class:str) rows in the reference's
+    exact CSV shape (ml.go:117-136: ", "-joined, trailing class col)."""
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(", ".join(CSV_HEADER) + "\n")
+        for feats, cls in rows:
+            fh.write(", ".join(str(int(v)) for v in feats)
+                     + f", {cls}\n")
+
+
+def read_features_csv(path):
+    """Parse a feature CSV back to (X, y). Tolerates plain-comma CSVs
+    too (golearn's ParseCSVToInstances trims spaces the same way)."""
+    X, y = [], []
+    with open(path, encoding="utf-8") as fh:
+        header = fh.readline()
+        ncols = len(header.split(","))
+        for line in fh:
+            parts = [p.strip() for p in line.rstrip("\n").split(",")]
+            if len(parts) != ncols or not line.strip():
+                continue
+            X.append([float(v) for v in parts[:-1]])
+            y.append(parts[-1])
+    return np.asarray(X, dtype=np.float64), np.asarray(y)
