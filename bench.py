@@ -339,6 +339,31 @@ def bench_queries(spark):
     return out
 
 
+def bench_bpe_vocab(spark):
+    """Production-vocab BPE (ops/bpe.py): train a >=1k-merge table from
+    the sf documents corpus (one distributed histogram pass + driver
+    merge loop), then the mapInPandas per-doc token count under that
+    vocab. Reported separately: train is one-time, encode is the
+    per-corpus-pass cost that must scale. The synthetic sf corpus has a
+    ~40-word vocabulary, so training saturates near 126 merges (that IS
+    full compression of this corpus — n_merges is reported); encoder
+    cost is ranks-dict-size-insensitive (O(1) pair lookups), and the
+    >=1k-merge parity gate is tests/test_bpe_vocab.py."""
+    import time as _t
+
+    from goskyr_spark.ops.bpe import bpe_token_count_vocab, train_bpe_df
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    t0 = _t.perf_counter()
+    merges = train_bpe_df(docs, 1500)
+    train_wall = _t.perf_counter() - t0
+    encode_wall = _best_of(
+        lambda: bpe_token_count_vocab(docs, merges).count())
+    return {"train_wall": round(train_wall, 3),
+            "encode_wall": round(encode_wall, 3),
+            "n_merges": len(merges)}
+
+
 def main():
     # --- headline crawl: each Spark core drives one JVM task thread AND
     # one Python kernel worker, so the non-oversubscribed width on this
@@ -372,6 +397,7 @@ def main():
     spark = make_spark(CPUS)
     extract_big = bench_extract(spark, CPUS)
     per_query = bench_queries(spark)
+    bpe_vocab = bench_bpe_vocab(spark)
     # live-socket crawl (real GETs + robots + wall-clock politeness)
     crawl_live = bench_live_crawl(spark, CPUS)
     spark.stop()
@@ -416,6 +442,8 @@ def main():
     per_query["crawl_adaptive"] = round(crawl_adaptive["wall"], 3)
     per_query["crawl_live"] = round(crawl_live["wall"], 3)
     per_query["extract_pipeline"] = round(extract_big["wall"], 3)
+    per_query["txt_bpe_vocab_train"] = bpe_vocab["train_wall"]
+    per_query["txt_bpe_vocab"] = bpe_vocab["encode_wall"]
     out = {
         "metric": "crawl_urls_per_sec",
         "value": round(crawl_big["urls_per_sec"], 2),
@@ -435,6 +463,7 @@ def main():
         "crawl_live": {k: round(v, 3) if isinstance(v, float) else v
                        for k, v in crawl_live.items()},
         "extract_rows_per_sec": round(extract_big["rows_per_sec"], 2),
+        "bpe_vocab": bpe_vocab,
         "scaling": scaling,
     }
     # full results on disk (round-over-round record, no size limit)...
