@@ -14,6 +14,11 @@ test-fast:	# kernel + oracle gates only (no multi-minute crawl drives)
 	  --ignore=tests/test_adaptive_priority.py \
 	  --ignore=tests/test_crawl_engine.py --ignore=tests/test_live_crawl.py
 
+.PHONY: test-browser
+test-browser:	# REAL browser leg of the dynamic fetcher (S3); needs
+	# `pip install playwright && playwright install chromium`
+	$(PY) -m pytest tests/test_browser.py -v
+
 .PHONY: bench
 bench:	# one JSON line; SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS override
 	$(PY) bench.py
