@@ -26,7 +26,7 @@ _goskyr_spark_completions() {
         --file)
           COMPREPLY=($(compgen -A file -- "$cur")) ;;
         *)
-          COMPREPLY=($(compgen -W "-h --help --file --url --min-occ" -- "$cur")) ;;
+          COMPREPLY=($(compgen -W "-h --help --file --url --min-occ -i --interactive" -- "$cur")) ;;
       esac ;;
     'list'*)
       case "$prev" in

@@ -24,6 +24,7 @@ complete -c goskyr-spark -n '__fish_seen_subcommand_from generate' -l help
 complete -c goskyr-spark -n '__fish_seen_subcommand_from generate' -l file -r -F
 complete -c goskyr-spark -n '__fish_seen_subcommand_from generate' -l url
 complete -c goskyr-spark -n '__fish_seen_subcommand_from generate' -l min-occ
+complete -c goskyr-spark -n '__fish_seen_subcommand_from generate' -l interactive
 complete -c goskyr-spark -n '__fish_use_subcommand' -a list
 complete -c goskyr-spark -n '__fish_seen_subcommand_from list' -l help
 complete -c goskyr-spark -n '__fish_seen_subcommand_from list' -l config -r -F

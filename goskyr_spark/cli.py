@@ -151,6 +151,51 @@ def cmd_crawl(args):
     return 0
 
 
+def _shorten(s, n=40):
+    # utils.ShortenString parity: cut + ellipsis
+    return s if len(s) <= n else s[: n - 3] + "..."
+
+
+def interactive_field_select(candidates, names, infile=None,
+                             outfile=None):
+    """Terminal field selection — the reference's tview table
+    (fieldmanager.go:375-430: field name + up to 4 example values,
+    toggle rows, Escape to finish) as a plain prompt: print the same
+    table, read the indices to KEEP (empty/'all' keeps everything,
+    'none' aborts). Ranges like '0-3' work."""
+    infile = infile or sys.stdin
+    outfile = outfile or sys.stderr
+    print(f"{'idx':>4}  {'field':<12} {'count':>5}  examples",
+          file=outfile)
+    for i, (c, nm) in enumerate(zip(candidates, names)):
+        exs = " | ".join(_shorten(e) for e in c["examples"][:4])
+        print(f"{i:>4}  {nm:<12} {c['count']:>5}  {exs}", file=outfile)
+    while True:
+        print("fields to keep (e.g. '0 2 4-6'; empty/'all' = all, "
+              "'none' = abort): ", end="", file=outfile)
+        outfile.flush()
+        raw = infile.readline()
+        line = raw.strip().lower()
+        if line in ("", "all"):
+            return list(range(len(candidates)))
+        if line == "none":
+            return []
+        try:
+            keep = []
+            for part in line.replace(",", " ").split():
+                if "-" in part:
+                    lo, hi = part.split("-", 1)
+                    keep.extend(range(int(lo), int(hi) + 1))
+                else:
+                    keep.append(int(part))
+            return keep
+        except ValueError:
+            # re-prompt; at EOF readline() yields '' which the next
+            # pass treats as 'all', so a closed pipe can't loop forever
+            print(f"could not parse '{line}' — indices, ranges, 'all' "
+                  "or 'none'", file=outfile)
+
+
 def cmd_generate(args):
     import dataclasses
 
@@ -159,8 +204,10 @@ def cmd_generate(args):
     from .ops.autoconfig import generate_and_verify
 
     html = open(args.file, encoding="utf-8").read()
+    select = interactive_field_select if args.interactive else None
     scraper, items = generate_and_verify(html, args.url,
-                                         min_occ=args.min_occ)
+                                         min_occ=args.min_occ,
+                                         select=select)
     if scraper is None:
         print("no repeating fields found", file=sys.stderr)
         return 1
@@ -373,6 +420,9 @@ def build_parser():
     pg.add_argument("--file", required=True, help="local HTML file")
     pg.add_argument("--url", default="https://sample.test/")
     pg.add_argument("--min-occ", type=int, default=5)
+    pg.add_argument("-i", "--interactive", action="store_true",
+                    help="show the discovered-field table and pick "
+                         "which fields to keep (reference -i flag)")
     pg.set_defaults(fn=cmd_generate)
 
     pc = sub.add_parser("crawl", help="run crawl rounds over a pages "

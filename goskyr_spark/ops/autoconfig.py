@@ -166,14 +166,31 @@ def _selector(steps):
 
 
 def infer_scraper(html, url="", min_occ=5, only_varying=True,
-                  labeler=None, name="generated"):
+                  labeler=None, name="generated", select=None):
     """G6+G7+G8: item selector + field configs from discovered candidates.
 
     ``labeler(examples, index) -> name`` overrides the positional naming
-    (plug a KNN model's predictions in here)."""
+    (plug a KNN model's predictions in here).
+
+    ``select(candidates, names) -> indices`` is the field-selection hook
+    (reference fieldSelection, fieldmanager.go:356-373): None keeps every
+    candidate (the reference's interactive=false branch); the CLI's
+    --interactive passes a stdin-driven table here. Names are assigned
+    BEFORE selection, like the reference's table shows them, so a
+    subset keeps its original field names. Returns None when the
+    selection is empty."""
     doc, candidates = discover_fields(html, min_occ, only_varying)
     if not candidates:
         return None
+    names = [labeler(c["examples"], i) if labeler else f"field-{i}"
+             for i, c in enumerate(candidates)]
+    if select is not None:
+        keep = sorted(set(select(candidates, names)))
+        candidates = [candidates[i] for i in keep
+                      if 0 <= i < len(names)]
+        names = [names[i] for i in keep if 0 <= i < len(names)]
+        if not candidates:
+            return None
 
     def _el_path(c):
         """Element path of a candidate with its sibling position pinned,
@@ -204,7 +221,7 @@ def infer_scraper(html, url="", min_occ=5, only_varying=True,
             text_idx = int(c["path"][-1][5:])
         rel = full[len(item_path):]
         sel = _selector(rel)
-        fname = labeler(c["examples"], i) if labeler else f"field-{i}"
+        fname = names[i]
         # G8: date detection — if a known layout covers the examples
         fmt, lang = get_date_format_multi(
             c["examples"][: min(10, len(c["examples"]))],

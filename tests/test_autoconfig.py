@@ -244,3 +244,69 @@ def test_labler_factory_types():
 
     with _p.raises(ValueError):
         new_labler({"type": "nope"})
+
+
+# --- field selection (fieldSelection, fieldmanager.go:356-430) -------------
+
+def test_select_hook_keeps_subset_and_names():
+    url, html = _event_page()
+    full = infer_scraper(html, url, min_occ=5)
+    names = [f.name for f in full.fields]
+
+    def pick_last_two(cands, nms):
+        assert nms == names  # names assigned BEFORE selection
+        return [len(cands) - 2, len(cands) - 1]
+
+    sub = infer_scraper(html, url, min_occ=5, select=pick_last_two)
+    assert [f.name for f in sub.fields] == names[-2:]
+    # the subset still round-trips through the real kernels
+    from goskyr_spark.kernels.scrape import scrape_page
+    pr = scrape_page(sub, url, html)
+    assert len(pr.items) == 6
+
+
+def test_select_hook_empty_selection_is_none():
+    url, html = _event_page()
+    assert infer_scraper(html, url, min_occ=5,
+                         select=lambda c, n: []) is None
+
+
+def test_select_hook_out_of_range_ignored():
+    url, html = _event_page()
+    full = infer_scraper(html, url, min_occ=5)
+    sub = infer_scraper(html, url, min_occ=5,
+                        select=lambda c, n: [0, 99, -7])
+    assert [f.name for f in sub.fields] == [full.fields[0].name]
+
+
+def test_cli_generate_interactive(tmp_path, monkeypatch, capsys):
+    import io
+
+    from goskyr_spark.cli import main as cli_main
+
+    url, html = _event_page()
+    f = tmp_path / "page.html"
+    f.write_text(html)
+
+    # keep fields 0 and 2-3 via the prompt
+    monkeypatch.setattr("sys.stdin", io.StringIO("0 2-3\n"))
+    assert cli_main(["generate", "--file", str(f), "--url", url,
+                     "--interactive"]) == 0
+    out, err = capsys.readouterr()
+    assert "fields to keep" in err and "examples" in err
+    import yaml
+    cfg = yaml.safe_load(out)
+    assert len(cfg["scrapers"][0]["fields"]) == 3
+
+    # 'none' aborts
+    monkeypatch.setattr("sys.stdin", io.StringIO("none\n"))
+    assert cli_main(["generate", "--file", str(f), "--url", url,
+                     "--interactive"]) == 1
+
+    # empty input = keep all (4 fields)
+    monkeypatch.setattr("sys.stdin", io.StringIO("\n"))
+    assert cli_main(["generate", "--file", str(f), "--url", url,
+                     "--interactive"]) == 0
+    out, _ = capsys.readouterr()
+    cfg = yaml.safe_load(out)
+    assert len(cfg["scrapers"][0]["fields"]) == 4
