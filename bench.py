@@ -310,6 +310,7 @@ def bench_queries(spark):
     from goskyr_spark.queries import all_queries, extra_queries
 
     picks = ["ex_text_css", "ex_date", "ex_items_explode", "dedup_exact",
+             "dedup_lines",
              "dedup_minhash_lsh", "dedup_minhash_lsh_capped",
              "dedup_jaccard", "dedup_jaccard_capped", "dedup_components",
              "dedup_components_capped", "dedup_incremental",
@@ -322,7 +323,8 @@ def bench_queries(spark):
              "sim_ann_ivf", "sim_ann_ivf_probed",
              "sim_ivf_train", "sim_ann_ivf_trained",
              "sim_pq_train", "sim_ann_pq", "sim_ann_pq_rerank",
-             "sim_ann_pq_indexed",
+             "sim_ann_pq_indexed", "sim_ann_lsh_indexed",
+             "sim_ann_ivf_indexed",
              "txt_repetition", "txt_gopher_quality", "txt_c4_clean",
              "curate_gopher", "curate_corpus", "curate_corpus_capped",
              "url_canonicalize", "url_canonicalize_full",

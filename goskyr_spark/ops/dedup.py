@@ -433,3 +433,42 @@ def simhash64(documents, text_col="text", id_col="doc_id"):
                         _bits_value(32, 64).alias("simhash_hi"),
                         _bits_value(0, 32).alias("simhash_lo")) \
         .orderBy(id_col)
+
+
+def dedup_lines(documents, max_docs=2, text_col="text", id_col="doc_id",
+                sep="\n"):
+    """Line-level corpus dedup (the C4/CCNet boilerplate-removal shape):
+    a trimmed line that appears in more than ``max_docs`` DISTINCT
+    documents is boilerplate (nav menus, cookie banners, footers) and
+    is removed from every document; empty lines drop too; documents
+    whose every line drops disappear from the output.
+
+    Scale: posexplode is map-only; the frequency count groups on
+    md5(line) so the counting shuffle carries a fixed-width hash + id,
+    never line text; the drop set is only the OVER-threshold lines —
+    tiny next to the line universe (boilerplate is by definition few
+    distinct strings), so AQE broadcasts the anti-join; reassembly is
+    the single shuffle that moves text, grouped by doc and re-ordered
+    by original line position. No self-joins, no driver collects.
+    """
+    lines = (documents
+             .select(F.col(id_col),
+                     F.posexplode(F.split(F.col(text_col), sep))
+                     .alias("pos", "line"))
+             .withColumn("line", F.trim("line"))
+             .filter(F.col("line") != "")
+             .withColumn("_lh", F.md5("line")))
+    drop = (lines.groupBy("_lh")
+            .agg(F.countDistinct(id_col).alias("_nd"))
+            .filter(F.col("_nd") > max_docs)
+            .select("_lh"))
+    kept = lines.join(drop, "_lh", "left_anti")
+    return (kept.groupBy(id_col)
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("pos", "line"))),
+                         lambda s: s["line"]),
+                     sep).alias("text_clean"),
+                 F.count("*").alias("n_kept"))
+            .orderBy(id_col))

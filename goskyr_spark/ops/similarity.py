@@ -474,3 +474,41 @@ def ann_topk_pq_indexed(codes, books, qvec, query_vec_id=0, k=10,
     return (codes.filter(F.col(id_col) != query_vec_id)
             .select(F.col(id_col), F.round(score, 6).alias("adc_score"))
             .orderBy(F.desc("adc_score"), id_col).limit(k))
+
+
+def ann_topk_lsh_indexed(embeddings, buckets, query_vec_id=0, k=10,
+                         id_col="vec_id", vec_col="embedding"):
+    """ANN over a PERSISTED SRP bucket table (from ``srp_lsh_buckets``,
+    stored once like dedup's minhash_index / pq_index): the per-query
+    plan never recomputes bucket assignments — it looks up the query's
+    bucket in the index, semi-joins the index down to that bucket's
+    ids, and only then touches the embeddings of those candidates. At
+    10^10 vectors the bucket table is partitioned by ``bucket``, so the
+    probe is a partition-pruned scan of corpus/2^n_planes ids; the
+    recompute variant (``ann_topk_lsh``) re-dots every stored vector
+    against every plane on every query. Rows are identical to the
+    recompute path (same bucket function, same tie-breaks)."""
+    qb = buckets.filter(F.col(id_col) == query_vec_id) \
+        .select(F.col("bucket").alias("_qb"))
+    cand_ids = (buckets.join(F.broadcast(qb),
+                             F.col("bucket") == F.col("_qb"))
+                .select(id_col))
+    cand = embeddings.join(cand_ids, id_col, "left_semi")
+    return cosine_topk(cand, query_vec_id, k, id_col, vec_col)
+
+
+def ann_topk_ivf_indexed(embeddings, assign, query_vec_id=0, k=10,
+                         id_col="vec_id", vec_col="embedding"):
+    """ANN over a PERSISTED IVF assignment table (from ``ivf_assign``):
+    same contract as ``ann_topk_lsh_indexed`` — the per-query plan
+    reads the assignment index (partition-pruned by ``centroid`` at
+    scale) and fetches only the probed cell's vectors, instead of
+    re-quantizing the whole corpus per query like ``ann_topk_ivf``.
+    Row-identical to the recompute path."""
+    qc = assign.filter(F.col(id_col) == query_vec_id) \
+        .select(F.col("centroid").alias("_qc"))
+    cand_ids = (assign.join(F.broadcast(qc),
+                            F.col("centroid") == F.col("_qc"))
+                .select(id_col))
+    cand = embeddings.join(cand_ids, id_col, "left_semi")
+    return cosine_topk(cand, query_vec_id, k, id_col, vec_col)

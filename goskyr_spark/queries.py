@@ -368,6 +368,20 @@ def q_dedup_components_capped(spark, sf_dir):
     return dup_components(pairs)
 
 
+def q_dedup_lines(spark, sf_dir):
+    """Line-level boilerplate removal (C4/CCNet shape): lines appearing
+    in >2 distinct docs are dropped everywhere. The synthetic documents
+    carry no newlines, so the query synthesizes deterministic line
+    boundaries first (every ' the ' token becomes a line break —
+    identical string replace in the oracle), which makes near-dup docs
+    share real lines."""
+    from .ops.dedup import dedup_lines
+
+    docs = documents(spark, sf_dir).withColumn(
+        "text", F.replace(F.col("text"), F.lit(" the "), F.lit("\n")))
+    return dedup_lines(docs, max_docs=2)
+
+
 def q_dedup_simhash(spark, sf_dir):
     from .ops.dedup import simhash16
 
@@ -586,6 +600,37 @@ def q_sim_ann_pq_indexed(spark, sf_dir):
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     codes = spark.read.parquet(path)
     return ann_topk_pq_indexed(codes, books, qvec, query_vec_id=0, k=10)
+
+
+def q_sim_ann_lsh_indexed(spark, sf_dir):
+    """Production-shape SRP-LSH probe: the bucket table is built once
+    (srp_lsh_buckets → parquet) and the query plan reads the index +
+    only the probed bucket's vectors — no per-query re-hash of the
+    corpus. Row-identical to sim_ann_lsh, so its oracle gates both."""
+    import tempfile
+
+    from .ops.similarity import ann_topk_lsh_indexed, srp_lsh_buckets
+
+    emb = embeddings(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="srp_idx_") + "/buckets.parquet"
+    srp_lsh_buckets(emb).write.mode("overwrite").parquet(path)
+    return ann_topk_lsh_indexed(emb, spark.read.parquet(path),
+                                query_vec_id=0, k=10)
+
+
+def q_sim_ann_ivf_indexed(spark, sf_dir):
+    """Production-shape IVF probe over a persisted assignment table
+    (ivf_assign → parquet; partition-pruned by centroid at scale).
+    Row-identical to sim_ann_ivf — shared oracle."""
+    import tempfile
+
+    from .ops.similarity import ann_topk_ivf_indexed, ivf_assign
+
+    emb = embeddings(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ivf_idx_") + "/assign.parquet"
+    ivf_assign(emb).write.mode("overwrite").parquet(path)
+    return ann_topk_ivf_indexed(emb, spark.read.parquet(path),
+                                query_vec_id=0, k=10)
 
 
 def q_mm_decode(spark, sf_dir):
@@ -877,6 +922,27 @@ ORACLES_OPS = {
         SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
                count(*) AS n_copies
         FROM documents GROUP BY 1 ORDER BY content_hash""",
+    "dedup_lines": """
+        WITH raw AS (
+          SELECT doc_id,
+                 string_split(replace(text, ' the ', chr(10)), chr(10))
+                 AS ls
+          FROM documents),
+        lines AS (
+          SELECT doc_id, pos, trim(ls[pos]) AS line
+          FROM raw, UNNEST(range(1, len(ls) + 1)) AS t(pos)
+          WHERE trim(ls[pos]) <> ''),
+        freq AS (
+          SELECT line FROM (
+            SELECT line, count(DISTINCT doc_id) AS nd
+            FROM lines GROUP BY 1)
+          WHERE nd > 2)
+        SELECT l.doc_id,
+               string_agg(l.line, chr(10) ORDER BY l.pos) AS text_clean,
+               count(*) AS n_kept
+        FROM lines l LEFT JOIN freq f USING (line)
+        WHERE f.line IS NULL
+        GROUP BY l.doc_id ORDER BY l.doc_id""",
     "dedup_jaccard": """
         WITH sh AS (
           SELECT doc_id, unnest(list_distinct(sh)) AS shingle FROM (
@@ -1707,6 +1773,10 @@ ORACLES_OPS["sim_ann_pq"] = _pq_ann_oracle(_PQ_SLICES)
 # the indexed variant is row-identical by construction (same books,
 # same round-6 ADC contract) — the same oracle gates both
 ORACLES_OPS["sim_ann_pq_indexed"] = _pq_ann_oracle(_PQ_SLICES)
+# the indexed LSH/IVF probes are row-identical to their recompute
+# twins (same bucket/assignment function, same tie-breaks)
+ORACLES_OPS["sim_ann_lsh_indexed"] = ORACLES_OPS["sim_ann_lsh"]
+ORACLES_OPS["sim_ann_ivf_indexed"] = ORACLES_OPS["sim_ann_ivf"]
 
 # the re-rank variant: m=4 x 16-dim subspaces, k=4, ADC shortlist of
 # 100 then EXACT cosine re-rank of only the shortlist (m=8/k=8 is
@@ -2056,7 +2126,7 @@ ORACLES_OPS["crawl_round"] = """
 # --- catalog -------------------------------------------------------------------
 
 def all_queries():
-    # Stable TOPICAL order, capped at 49 entries: the external
+    # Stable TOPICAL order, capped at 50 entries: the external
     # correctness driver verifies the first 50, so keeping the catalog
     # under that bound means EVERY operator family lands a driver row
     # EVERY round — coverage is structural, not positional. Each
@@ -2083,6 +2153,7 @@ def all_queries():
         "url_canonicalize_full": q_url_canonicalize_full,
         # --- deduplication ---
         "dedup_exact": q_dedup_exact,
+        "dedup_lines": q_dedup_lines,
         "dedup_minhash_lsh_capped": q_dedup_minhash_lsh_capped,
         "dedup_incremental_verified": q_dedup_incremental_verified,
         "dedup_jaccard_capped": q_dedup_jaccard_capped,
@@ -2144,6 +2215,8 @@ def extra_queries():
         "sim_lsh_buckets": q_sim_lsh_buckets,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_ivf": q_sim_ann_ivf,
+        "sim_ann_lsh_indexed": q_sim_ann_lsh_indexed,
+        "sim_ann_ivf_indexed": q_sim_ann_ivf_indexed,
         "sim_ann_pq": q_sim_ann_pq,
         "curate_corpus": q_curate_corpus,
     }

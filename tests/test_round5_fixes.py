@@ -105,3 +105,87 @@ def test_warc_large_record_many_chunks_roundtrip():
     assert [(u, s) for u, s, _ in out] == \
         [(u, s) for u, s, _ in records]
     assert out[0][2] == body and out[1][2] == b"tiny"
+
+
+# --- line-level corpus dedup (C4/CCNet boilerplate removal) -----------------
+
+def test_dedup_lines_drops_boilerplate(spark):
+    from goskyr_spark.ops.dedup import dedup_lines
+
+    footer = "subscribe to our newsletter"
+    docs = spark.createDataFrame([
+        (0, f"unique alpha\n{footer}\nunique beta"),
+        (1, f"{footer}\nsolo gamma"),
+        (2, f"delta one\n\n  {footer}  \ndelta two"),
+        (3, f"{footer}"),                        # only the dropped line
+        (4, "all mine\nalso mine"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup_lines(docs, max_docs=2).collect()}
+    # footer appears in 4 > 2 docs -> removed everywhere; order kept;
+    # empty/whitespace lines drop; doc 3 vanishes entirely
+    assert out[0]["text_clean"] == "unique alpha\nunique beta"
+    assert out[1]["text_clean"] == "solo gamma"
+    assert out[2]["text_clean"] == "delta one\ndelta two"
+    assert 3 not in out
+    assert out[4]["text_clean"] == "all mine\nalso mine"
+    assert out[0]["n_kept"] == 2 and out[4]["n_kept"] == 2
+
+
+def test_dedup_lines_threshold_boundary(spark):
+    from goskyr_spark.ops.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(i, "shared pair\nown %d" % i) for i in range(2)],
+        "doc_id long, text string")
+    # in exactly max_docs docs -> NOT dropped (strict >)
+    out = dedup_lines(docs, max_docs=2).collect()
+    assert all(r["text_clean"].startswith("shared pair\n") for r in out)
+
+
+def test_dedup_lines_duplicate_line_within_one_doc(spark):
+    from goskyr_spark.ops.dedup import dedup_lines
+
+    # the count is DISTINCT docs: 5 copies inside one doc don't make a
+    # line boilerplate
+    docs = spark.createDataFrame(
+        [(0, "\n".join(["echo"] * 5)), (1, "other text")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup_lines(docs, max_docs=2).collect()}
+    assert out[0]["text_clean"] == "\n".join(["echo"] * 5)
+    assert out[0]["n_kept"] == 5
+
+
+# --- indexed ANN probes read the index, not a per-query re-hash -------------
+
+def test_ann_indexed_matches_recompute_and_plan(spark, tmp_path):
+    from goskyr_spark.ops.similarity import (
+        ann_topk_ivf, ann_topk_ivf_indexed, ann_topk_lsh,
+        ann_topk_lsh_indexed, ivf_assign, srp_lsh_buckets)
+    from goskyr_spark.queries import embeddings
+
+    emb = embeddings(spark, "/root/testdata/sf0.001")
+
+    bpath = str(tmp_path / "buckets.parquet")
+    srp_lsh_buckets(emb).write.parquet(bpath)
+    idx = ann_topk_lsh_indexed(emb, spark.read.parquet(bpath),
+                               query_vec_id=0, k=10)
+    assert idx.collect() == ann_topk_lsh(emb, query_vec_id=0,
+                                         k=10).collect()
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    # candidates are pruned by a semi-join against the persisted index
+    # BEFORE any vector math touches the corpus
+    assert "LeftSemi" in plan, plan
+    # the probe side reads the persisted 2-column index table (Spark's
+    # plan printer truncates file paths, so assert on the read schema)
+    assert "struct<vec_id:bigint,bucket:bigint>" in plan, plan
+
+    apath = str(tmp_path / "assign.parquet")
+    ivf_assign(emb).write.parquet(apath)
+    idx2 = ann_topk_ivf_indexed(emb, spark.read.parquet(apath),
+                                query_vec_id=0, k=10)
+    assert idx2.collect() == ann_topk_ivf(emb, query_vec_id=0,
+                                          k=10).collect()
+    assert "LeftSemi" in \
+        idx2._jdf.queryExecution().executedPlan().toString()
