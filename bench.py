@@ -310,7 +310,7 @@ def bench_queries(spark):
     from goskyr_spark.queries import all_queries, extra_queries
 
     picks = ["ex_text_css", "ex_date", "ex_items_explode", "dedup_exact",
-             "dedup_lines",
+             "dedup_lines", "dedup_substring", "txt_pii",
              "dedup_minhash_lsh", "dedup_minhash_lsh_capped",
              "dedup_jaccard", "dedup_jaccard_capped", "dedup_components",
              "dedup_components_capped", "dedup_incremental",

@@ -472,3 +472,48 @@ def dedup_lines(documents, max_docs=2, text_col="text", id_col="doc_id",
                      sep).alias("text_clean"),
                  F.count("*").alias("n_kept"))
             .orderBy(id_col))
+
+
+def substring_dup_stats(documents, k=8, text_col="text", id_col="doc_id"):
+    """Per-doc verbatim-overlap statistics: the fraction of a document's
+    DISTINCT k-token windows that also appear verbatim in another
+    document — the curation signal behind exact-substring dedup
+    ("Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2021; their suffix-array dedup is approximated here with
+    fixed-k windows, which is the Spark-friendly shape: no global
+    sort, no cross-doc state).
+
+    Scale: the window hashes are computed in-row (transform over a
+    sequence — map-only, one md5 per window); the doc-frequency shuffle
+    carries (16-byte hash, doc_id) only, never text; the duplicated-
+    window set (df > 1) is the minority anti-join side. Output:
+    (doc_id, n_kgrams, n_dup_kgrams, dup_frac) for EVERY doc (short
+    docs get 0 / 0.0).
+    """
+    w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # sequence(1, 0) DESCENDS in Spark, so short docs need the guard
+    gram_hashes = F.when(
+        F.size(w) >= k,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size(w) - (k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, k)))))
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (documents
+             .select(F.col(id_col), F.explode(gram_hashes).alias("_g")))
+    dup = (grams.groupBy("_g")
+           .agg(F.countDistinct(id_col).alias("_nd"))
+           .filter(F.col("_nd") > 1).select("_g"))
+    per_doc = grams.groupBy(id_col).agg(F.count("*").alias("n_kgrams"))
+    dup_doc = (grams.join(dup, "_g", "left_semi")
+               .groupBy(id_col).agg(F.count("*").alias("n_dup_kgrams")))
+    return (documents.select(id_col)
+            .join(per_doc, id_col, "left")
+            .join(dup_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_kgrams", F.lit(0)).alias("n_kgrams"),
+                    F.coalesce("n_dup_kgrams", F.lit(0))
+                    .alias("n_dup_kgrams"),
+                    F.round(F.coalesce("n_dup_kgrams", F.lit(0)) /
+                            F.greatest(F.coalesce("n_kgrams", F.lit(0)),
+                                       F.lit(1)), 6).alias("dup_frac"))
+            .orderBy(id_col))

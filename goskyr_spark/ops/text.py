@@ -218,3 +218,33 @@ def fingerprint(documents, text_col="text", id_col="doc_id",
         lambda acc, c: (acc * base + c) % mod)
     return documents.select(F.col(id_col), fp.alias("fingerprint")) \
         .orderBy(id_col)
+
+
+# PII patterns — the conservative web-text scrubbing set (emails, bare
+# IPv4s). Written in the common Java-regex/RE2 dialect subset so the
+# SAME pattern string runs in Spark (Java) and the DuckDB (RE2) oracle.
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub(documents, text_col="text", id_col="doc_id"):
+    """PII redaction (the FineWeb/CCNet-style curation pass): replace
+    emails with <EMAIL> and IPv4 literals with <IP>, and count what was
+    redacted. Pure column expressions — regexp_replace/regexp_count run
+    in whole-stage codegen; no shuffle at all (map-only plan).
+
+    Order matters: emails are scrubbed FIRST so an address like
+    a@1.2.3.4.com (dotted-quad inside an alpha-TLD host) redacts as ONE
+    email instead of having the quad torn out of it by the IP pass.
+    A bare user@10.0.0.1 is NOT an email under this pattern (no alpha
+    TLD) — its quad redacts as an IP."""
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(PII_EMAIL))
+    after_email = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    n_ips = F.regexp_count(after_email, F.lit(PII_IPV4))
+    scrubbed = F.regexp_replace(after_email, PII_IPV4, "<IP>")
+    return documents.select(
+        F.col(id_col),
+        scrubbed.alias("text_scrubbed"),
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips")).orderBy(id_col)

@@ -382,6 +382,31 @@ def q_dedup_lines(spark, sf_dir):
     return dedup_lines(docs, max_docs=2)
 
 
+def q_dedup_substring(spark, sf_dir):
+    """Exact-substring overlap statistics (Lee et al. 2021 shape,
+    fixed-k-window approximation): fraction of each doc's distinct
+    8-token windows appearing verbatim in another doc."""
+    from .ops.dedup import substring_dup_stats
+
+    return substring_dup_stats(documents(spark, sf_dir), k=8)
+
+
+def q_txt_pii(spark, sf_dir):
+    """PII scrubbing (emails first, then IPv4). The synthetic corpus
+    carries no PII, so the query injects it deterministically (same
+    string replaces in the oracle): every ' data ' token becomes an
+    email, every ' key ' an IP."""
+    from .ops.text import pii_scrub
+
+    docs = documents(spark, sf_dir).withColumn(
+        "text", F.replace(F.col("text"), F.lit(" data "),
+                          F.lit(" bob.smith+x@mail-host.example.com ")))
+    docs = docs.withColumn(
+        "text", F.replace(F.col("text"), F.lit(" key "),
+                          F.lit(" 10.42.0.250 ")))
+    return pii_scrub(docs)
+
+
 def q_dedup_simhash(spark, sf_dir):
     from .ops.dedup import simhash16
 
@@ -922,6 +947,54 @@ ORACLES_OPS = {
         SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
                count(*) AS n_copies
         FROM documents GROUP BY 1 ORDER BY content_hash""",
+    "dedup_substring": """
+        WITH g AS (
+          SELECT doc_id, unnest(list_distinct(
+            [md5(array_to_string(w[i:i+7], ' '))
+             for i in range(1, greatest(len(w) - 7, 0) + 1)])) AS gh
+          FROM (SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS w
+                FROM documents)),
+        freq AS (SELECT gh FROM (
+                   SELECT gh, count(DISTINCT doc_id) AS nd
+                   FROM g GROUP BY 1) WHERE nd > 1),
+        per_doc AS (SELECT doc_id, count(*) AS n_kgrams FROM g GROUP BY 1),
+        dup_doc AS (SELECT g.doc_id, count(*) AS n_dup_kgrams
+                    FROM g JOIN freq USING (gh) GROUP BY 1)
+        SELECT d.doc_id,
+               coalesce(p.n_kgrams, 0) AS n_kgrams,
+               coalesce(x.n_dup_kgrams, 0) AS n_dup_kgrams,
+               round(coalesce(x.n_dup_kgrams, 0) /
+                     greatest(coalesce(p.n_kgrams, 0), 1), 6) AS dup_frac
+        FROM documents d
+        LEFT JOIN per_doc p USING (doc_id)
+        LEFT JOIN dup_doc x USING (doc_id)
+        ORDER BY d.doc_id""",
+    "txt_pii": """
+        WITH injected AS (
+          SELECT doc_id,
+                 replace(replace(text, ' data ',
+                         ' bob.smith+x@mail-host.example.com '),
+                         ' key ', ' 10.42.0.250 ') AS text
+          FROM documents),
+        emails AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'))
+                 AS n_emails,
+                 regexp_replace(text,
+                     '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g') AS t1
+          FROM injected)
+        SELECT doc_id,
+               regexp_replace(t1,
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                   '<IP>', 'g') AS text_scrubbed,
+               n_emails,
+               len(regexp_extract_all(t1,
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+               AS n_ips
+        FROM emails ORDER BY doc_id""",
     "dedup_lines": """
         WITH raw AS (
           SELECT doc_id,
@@ -2215,6 +2288,8 @@ def extra_queries():
         "sim_lsh_buckets": q_sim_lsh_buckets,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_ivf": q_sim_ann_ivf,
+        "dedup_substring": q_dedup_substring,
+        "txt_pii": q_txt_pii,
         "sim_ann_lsh_indexed": q_sim_ann_lsh_indexed,
         "sim_ann_ivf_indexed": q_sim_ann_ivf_indexed,
         "sim_ann_pq": q_sim_ann_pq,

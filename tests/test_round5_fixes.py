@@ -189,3 +189,50 @@ def test_ann_indexed_matches_recompute_and_plan(spark, tmp_path):
                                           k=10).collect()
     assert "LeftSemi" in \
         idx2._jdf.queryExecution().executedPlan().toString()
+
+
+# --- substring-overlap stats + PII scrubbing ---------------------------------
+
+def test_substring_dup_stats_crafted(spark):
+    from goskyr_spark.ops.dedup import substring_dup_stats
+
+    shared = "one two three four five six seven eight"   # one 8-window
+    docs = spark.createDataFrame([
+        (0, f"{shared} tail0 a b c"),
+        (1, f"head1 {shared} tail1"),
+        (2, "totally different words here nine ten eleven twelve"),
+        (3, "short doc"),                                 # < 8 tokens
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           substring_dup_stats(docs, k=8).collect()}
+    # docs 0 and 1 share exactly the one verbatim 8-token window
+    assert out[0]["n_dup_kgrams"] == 1 and out[1]["n_dup_kgrams"] == 1
+    assert out[0]["n_kgrams"] == 5     # 12 tokens -> 5 distinct windows
+    assert out[2]["n_dup_kgrams"] == 0
+    assert out[3]["n_kgrams"] == 0 and out[3]["dup_frac"] == 0.0
+    assert abs(out[0]["dup_frac"] - 0.2) < 1e-9
+
+
+def test_pii_scrub_order_and_counts(spark):
+    from goskyr_spark.ops.text import pii_scrub
+
+    docs = spark.createDataFrame([
+        (0, "mail a@b.org and c.d+e@f-g.co plus ip 192.168.1.1 end"),
+        (1, "a@1.2.3.4.com then bare user@10.0.0.1 here"),
+        (2, "no pii here at all"),
+        (3, "v1.2.3.4 version strings are ip-shaped: redacted too"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert out[0]["text_scrubbed"] == \
+        "mail <EMAIL> and <EMAIL> plus ip <IP> end"
+    assert out[0]["n_emails"] == 2 and out[0]["n_ips"] == 1
+    # ordering contract: the quad inside an alpha-TLD host stays part
+    # of the email; the no-TLD form redacts as an IP
+    assert out[1]["n_emails"] == 1 and out[1]["n_ips"] == 1
+    assert out[1]["text_scrubbed"] == "<EMAIL> then bare user@<IP> here"
+    assert out[2]["text_scrubbed"] == "no pii here at all"
+    assert out[2]["n_emails"] == 0 and out[2]["n_ips"] == 0
+    # \b protects letter-prefixed quads: v1.2.3.4 is a version string,
+    # not an IP (no word boundary between 'v' and '1')
+    assert "<IP>" not in out[3]["text_scrubbed"]
+    assert out[3]["n_ips"] == 0
