@@ -16,4 +16,4 @@ reference defines WHAT to compute (SURVEY.md §2), the architecture is
 DataFrame/Arrow-first.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"

@@ -18,9 +18,18 @@ from .io.writers import item_to_json, write_items_file, write_status_file
 from .kernels.scrape import scrape_local
 
 
-def _fetch_fn(scraper):
+def _fetch_fn(scraper, debug=False):
     from .spark.fetchers import new_fetcher
 
+    if debug and not scraper.fetcher.debug_dir:
+        # the reference's -d turns the HTML dump on with the default
+        # dir (main.go:45, fetcher.go:26 DebugDirDefault)
+        import dataclasses
+
+        scraper = dataclasses.replace(
+            scraper,
+            fetcher=dataclasses.replace(scraper.fetcher,
+                                        debug_dir="debug"))
     fetcher = new_fetcher(scraper.fetcher)
 
     def fetch(url):
@@ -46,7 +55,8 @@ def cmd_scrape(args):
         # per-scraper isolation: a failing scraper logs + continues
         # (main.go:198-202)
         try:
-            items, stats = scrape_local(s, _fetch_fn(s))
+            items, stats = scrape_local(
+                s, _fetch_fn(s, debug=args.debug))
             return s.name, items, stats, None
         except Exception as e:
             return s.name, [], {"nrItems": 0, "nrErrors": 1}, str(e)
@@ -258,7 +268,8 @@ def cmd_extract(args):
         # Scrape(true)); failures log + continue like the reference's
         # calculateScraperFeatures (ml.go:139-146)
         try:
-            items, _ = scrape_local(s, _fetch_fn(s), raw_dyn=True)
+            items, _ = scrape_local(
+                s, _fetch_fn(s, debug=args.debug), raw_dyn=True)
             return s.name, items, None
         except Exception as e:
             return s.name, [], str(e)
@@ -403,7 +414,16 @@ def cmd_completion(args):
 
 
 def build_parser():
+    from . import __version__
+
     p = argparse.ArgumentParser(prog="goskyr_spark")
+    # global flags — reference parity (main.go:44-45)
+    p.add_argument("-v", "--version", action="version",
+                   version=__version__,
+                   help="print the version and exit")
+    p.add_argument("-d", "--debug", action="store_true",
+                   help="set log level to debug and store fetched HTML "
+                        "under ./debug (DebugDirDefault, fetcher.go:26)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     ps = sub.add_parser("scrape", help="run scrapers from a YAML config")
@@ -479,6 +499,11 @@ def build_parser():
 def main(argv=None):
     p = build_parser()
     args = p.parse_args(argv)
+    if getattr(args, "debug", False):
+        import logging
+
+        logging.basicConfig(level=logging.DEBUG)
+        logging.getLogger().setLevel(logging.DEBUG)
     try:
         return args.fn(args)
     except ConfigError as e:

@@ -173,13 +173,16 @@ class DynamicFetcher:
 
 
 class MockFetcher:
-    def __init__(self, mock_pages):
+    def __init__(self, mock_pages, debug_dir: str = ""):
         # list of {'url':..., 'content':...} like config mock_pages
         self.pages = {p["url"]: p["content"] for p in mock_pages}
+        self.debug_dir = debug_dir
 
     def fetch(self, url: str, opts: FetchOpts = None) -> str:
         if url not in self.pages:
             raise FetchError(f"page {url} not found in mock pages")
+        if self.debug_dir:  # -d parity: dump fetched HTML like static
+            write_html_debug(url, self.pages[url], self.debug_dir)
         return self.pages[url]
 
 
@@ -192,7 +195,8 @@ def new_fetcher(fetcher_config):
     if ftype == "dynamic":
         return DynamicFetcher(fetcher_config.user_agent)
     if ftype == "mock":
-        return MockFetcher(fetcher_config.mock_pages)
+        return MockFetcher(fetcher_config.mock_pages,
+                           debug_dir=fetcher_config.debug_dir)
     raise ValueError(f"fetcher type '{ftype}' does not exist")
 
 

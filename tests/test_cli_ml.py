@@ -103,3 +103,24 @@ def test_extract_wordlists_dir(tmp_path):
     # dict-words-count (col 28) sees both words of "Concert Night"
     titles = X[[i for i in range(len(y)) if y[i] == "title"]]
     assert 2.0 in titles[:, 28]
+
+
+def test_cli_version_and_debug_flags(tmp_path, monkeypatch, capsys):
+    import pytest as _pytest
+
+    # -v prints the package version and exits 0 (main.go:33-44 parity)
+    from goskyr_spark import __version__
+
+    with _pytest.raises(SystemExit) as exc:
+        cli_main(["--version"])
+    assert exc.value.code == 0
+    assert capsys.readouterr().out.strip() == __version__
+
+    # -d dumps every fetched page under ./debug (DebugDirDefault)
+    cfg = tmp_path / "config.yml"
+    cfg.write_text(ML_YAML)
+    monkeypatch.chdir(tmp_path)
+    assert cli_main(["-d", "scrape", "-c", str(cfg)]) == 0
+    dumps = list((tmp_path / "debug").glob("*.html"))
+    assert len(dumps) == 1 and dumps[0].name.startswith("a.test-")
+    assert "Concert Night" in dumps[0].read_text()
