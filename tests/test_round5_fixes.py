@@ -236,3 +236,85 @@ def test_pii_scrub_order_and_counts(spark):
     # not an IP (no word boundary between 'v' and '1')
     assert "<IP>" not in out[3]["text_scrubbed"]
     assert out[3]["n_ips"] == 0
+
+
+def test_dedup_lines_randomized_vs_python_oracle(spark):
+    """One seeded random batch through the Spark op vs an independent
+    pure-Python implementation of the same contract."""
+    import random
+
+    from goskyr_spark.ops.dedup import dedup_lines
+
+    rng = random.Random(23)
+    pool = ["menu home about", "copyright 2026 example corp",
+            "subscribe now", ""] + \
+           [f"unique sentence {i} with words" for i in range(400)]
+    docs = [(i, "\n".join(rng.choice(pool)
+                          for _ in range(rng.randint(1, 12))))
+            for i in range(150)]
+    max_docs = 3
+
+    # pure-Python oracle
+    from collections import Counter, defaultdict
+    df_count = defaultdict(set)
+    for i, t in docs:
+        for ln in t.split("\n"):
+            ln = ln.strip()
+            if ln:
+                df_count[ln].add(i)
+    drop = {ln for ln, ids in df_count.items() if len(ids) > max_docs}
+    want = {}
+    for i, t in docs:
+        kept = [ln.strip() for ln in t.split("\n")
+                if ln.strip() and ln.strip() not in drop]
+        if kept:
+            want[i] = ("\n".join(kept), len(kept))
+
+    out = dedup_lines(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        max_docs=max_docs).collect()
+    got = {r["doc_id"]: (r["text_clean"], r["n_kept"]) for r in out}
+    assert got == want
+    assert len(drop) > 0  # the batch actually exercised the drop path
+
+
+def test_substring_stats_randomized_vs_python_oracle(spark):
+    import random
+
+    from goskyr_spark.ops.dedup import substring_dup_stats
+
+    rng = random.Random(31)
+    words = [f"w{i}" for i in range(30)]
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8 b9"      # planted shared span
+    docs = []
+    for i in range(80):
+        n = rng.randint(2, 40)
+        body = " ".join(rng.choice(words) for _ in range(n))
+        if rng.random() < 0.3:                  # verbatim overlap
+            body = f"{body} {boiler}" if rng.random() < 0.5 \
+                else f"{boiler} {body}"
+        docs.append((i, body))
+    k = 8
+
+    from collections import defaultdict
+    gram_docs = defaultdict(set)
+    per_doc = {}
+    for i, t in docs:
+        w = t.strip().lower().split()
+        grams = {" ".join(w[j:j + k]) for j in range(len(w) - k + 1)}
+        per_doc[i] = grams
+        for g in grams:
+            gram_docs[g].add(i)
+    dup = {g for g, ids in gram_docs.items() if len(ids) > 1}
+    assert dup  # non-degenerate batch
+
+    out = substring_dup_stats(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        k=k).collect()
+    for r in out:
+        grams = per_doc[r["doc_id"]]
+        nd = len(grams & dup)
+        assert r["n_kgrams"] == len(grams)
+        assert r["n_dup_kgrams"] == nd
+        assert abs(r["dup_frac"] -
+                   round(nd / max(len(grams), 1), 6)) < 1e-9
