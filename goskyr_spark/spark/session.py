@@ -38,6 +38,17 @@ def get_spark(app="goskyr_spark", master=None, shuffle_partitions=None,
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # write-path overhead: the crawl commits 4-5 snapshot appends
+        # per round, so per-write committer fixed costs multiply.
+        # _SUCCESS markers and parquet summary files are dead weight
+        # under manifest-based tables (the manifest IS the commit), and
+        # the v2 committer moves files once instead of twice. Measured:
+        # 172 → 120 ms per small write.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter"
+                ".marksuccessfuljobs", "false")
+        .config("spark.hadoop.mapreduce.fileoutputcommitter"
+                ".algorithm.version", "2")
+        .config("spark.hadoop.parquet.summary.metadata.level", "NONE")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
