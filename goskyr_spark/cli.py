@@ -307,9 +307,12 @@ def cmd_train(args):
     model_file, classes_file = "goskyr.model", "goskyr.class"
     model.save(model_file)
     with open(classes_file, "w", encoding="utf-8") as fh:
-        # first-appearance order over the TRAINING split, matching
-        # golearn's CategoricalAttribute.GetValues (ml.go:248)
-        for value in dict.fromkeys(model.y):
+        # first-appearance order over the FULL label array as parsed
+        # from the CSV, matching golearn's CategoricalAttribute.GetValues
+        # (ml.go:248): golearn accumulates class values while parsing the
+        # WHOLE file (train/test share attribute objects), so classes
+        # that only appear in the held-out quarter must still be listed
+        for value in dict.fromkeys(y):
             fh.write(f"{value}\n")
     print(f"storing model to files {model_file} and {classes_file}",
           file=sys.stderr)

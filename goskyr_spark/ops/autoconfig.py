@@ -184,13 +184,6 @@ def infer_scraper(html, url="", min_occ=5, only_varying=True,
         return None
     names = [labeler(c["examples"], i) if labeler else f"field-{i}"
              for i, c in enumerate(candidates)]
-    if select is not None:
-        keep = sorted(set(select(candidates, names)))
-        candidates = [candidates[i] for i in keep
-                      if 0 <= i < len(names)]
-        names = [names[i] for i in keep if 0 <= i < len(names)]
-        if not candidates:
-            return None
 
     def _el_path(c):
         """Element path of a candidate with its sibling position pinned,
@@ -201,8 +194,22 @@ def infer_scraper(html, url="", min_occ=5, only_varying=True,
             p[-1] += f":nth-of-type({c['nth']})"
         return tuple(p)
 
+    # item selector from ALL discovered candidates, BEFORE field
+    # selection: the reference runs fieldSelection on the already-built
+    # scraper (fieldmanager.go:356-373), so dropping fields never
+    # changes the item selector — keeping only a nested subset must not
+    # collapse `item` to a deeper node (which would change item counts
+    # and per-item empty-value semantics)
     field_paths = [_el_path(c) for c in candidates]
     item_path = _common_prefix(field_paths)
+
+    if select is not None:
+        keep = sorted(set(select(candidates, names)))
+        candidates = [candidates[i] for i in keep
+                      if 0 <= i < len(names)]
+        names = [names[i] for i in keep if 0 <= i < len(names)]
+        if not candidates:
+            return None
     # the item node itself must repeat; walk back until the selector
     # matches ≥ min_occ nodes (reference trimPrefix keeps ≥3 segments)
     while item_path:

@@ -42,8 +42,11 @@ _PRETOK = re.compile(BPE_PATTERN)
 
 def pretokenize(text: str) -> list:
     """Lowercased GPT-2-style pretokens (parity with the column path:
-    lower(trim(text)) then BPE_PATTERN matches)."""
-    return _PRETOK.findall(text.strip().lower())
+    lower(trim(text)) then BPE_PATTERN matches). Spark's F.trim strips
+    ASCII SPACES only, so this strips only ' ' too — a document padded
+    with tabs/newlines must pretokenize identically on both paths
+    (tests/test_bpe_vocab.py::test_pretokenize_whitespace_parity)."""
+    return _PRETOK.findall(text.strip(" ").lower())
 
 
 def pretoken_counts(documents, text_col="text"):

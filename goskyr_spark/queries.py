@@ -607,21 +607,47 @@ def q_sim_ann_pq_rerank(spark, sf_dir):
                               shortlist=100)
 
 
+# Persisted-index build cache: the *_indexed queries model a
+# build-once / query-many index, so the parquet index is built ONCE per
+# (kind, sf_dir) per process and reused by every subsequent invocation
+# (bench warm-up + best-of-2 now re-measures only the query path, which
+# is what the row is documented to mean). Dirs are removed at exit.
+_INDEX_CACHE: dict = {}
+
+
+def _index_path(spark, kind, sf_dir, build):
+    """Return the parquet path of a cached index, building it on first
+    use. ``build(path)`` writes the index; the temp dir is registered
+    for atexit cleanup (no per-invocation leak)."""
+    key = (kind, sf_dir)
+    if key not in _INDEX_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix=f"{kind}_idx_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        path = f"{d}/index.parquet"
+        build(path)
+        _INDEX_CACHE[key] = path
+    return _INDEX_CACHE[key]
+
+
 def q_sim_ann_pq_indexed(spark, sf_dir):
     """Production-shape PQ search: codes are built ONCE (pq_index →
-    parquet, the minhash_index pattern) and the ADC query scans ONLY
-    the persisted integer code table — the embeddings column never
-    appears in the query plan (plan-asserted in tests/test_plans.py).
-    Same rows as sim_ann_pq: identical codebooks, identical round-6
-    ADC scores, so the unindexed oracle gates both."""
-    import tempfile
-
+    parquet, the minhash_index pattern; cached per process — see
+    _index_path) and the ADC query scans ONLY the persisted integer
+    code table — the embeddings column never appears in the query plan
+    (plan-asserted in tests/test_plans.py). Same rows as sim_ann_pq:
+    identical codebooks, identical round-6 ADC scores, so the unindexed
+    oracle gates both."""
     from .ops.similarity import ann_topk_pq_indexed, pq_index, pq_train
 
     emb = embeddings(spark, sf_dir)
     books, _ = pq_train(emb, m=2, n_centroids=4, n_iter=2)
-    path = tempfile.mkdtemp(prefix="pq_codes_") + "/codes.parquet"
-    pq_index(emb, books).write.mode("overwrite").parquet(path)
+    path = _index_path(
+        spark, "pq", sf_dir,
+        lambda p: pq_index(emb, books).write.mode("overwrite").parquet(p))
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     codes = spark.read.parquet(path)
     return ann_topk_pq_indexed(codes, books, qvec, query_vec_id=0, k=10)
@@ -629,31 +655,30 @@ def q_sim_ann_pq_indexed(spark, sf_dir):
 
 def q_sim_ann_lsh_indexed(spark, sf_dir):
     """Production-shape SRP-LSH probe: the bucket table is built once
-    (srp_lsh_buckets → parquet) and the query plan reads the index +
-    only the probed bucket's vectors — no per-query re-hash of the
-    corpus. Row-identical to sim_ann_lsh, so its oracle gates both."""
-    import tempfile
-
+    (srp_lsh_buckets → parquet, cached per process) and the query plan
+    reads the index + only the probed bucket's vectors — no per-query
+    re-hash of the corpus. Row-identical to sim_ann_lsh, so its oracle
+    gates both."""
     from .ops.similarity import ann_topk_lsh_indexed, srp_lsh_buckets
 
     emb = embeddings(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="srp_idx_") + "/buckets.parquet"
-    srp_lsh_buckets(emb).write.mode("overwrite").parquet(path)
+    path = _index_path(
+        spark, "srp", sf_dir,
+        lambda p: srp_lsh_buckets(emb).write.mode("overwrite").parquet(p))
     return ann_topk_lsh_indexed(emb, spark.read.parquet(path),
                                 query_vec_id=0, k=10)
 
 
 def q_sim_ann_ivf_indexed(spark, sf_dir):
     """Production-shape IVF probe over a persisted assignment table
-    (ivf_assign → parquet; partition-pruned by centroid at scale).
-    Row-identical to sim_ann_ivf — shared oracle."""
-    import tempfile
-
+    (ivf_assign → parquet, cached per process; partition-pruned by
+    centroid at scale). Row-identical to sim_ann_ivf — shared oracle."""
     from .ops.similarity import ann_topk_ivf_indexed, ivf_assign
 
     emb = embeddings(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="ivf_idx_") + "/assign.parquet"
-    ivf_assign(emb).write.mode("overwrite").parquet(path)
+    path = _index_path(
+        spark, "ivf", sf_dir,
+        lambda p: ivf_assign(emb).write.mode("overwrite").parquet(p))
     return ann_topk_ivf_indexed(emb, spark.read.parquet(path),
                                 query_vec_id=0, k=10)
 

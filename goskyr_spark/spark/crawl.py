@@ -1584,23 +1584,27 @@ class CrawlEngine:
         fetched = self.t_fetched.read(self.spark, schema=FETCHED_SCHEMA)
         pending = frontier.join(fetched.select("url_hash", "url"),
                                 on=["url_hash", "url"], how="left_anti")
-        n_p = pending.count()
-        # frontier/fetched keep their host-hash bucketing through
-        # compaction (one file per bucket) so the bucketed dequeue's
-        # file→bucket map stays valid
+        # coalesce sizing comes from parquet FOOTER row counts
+        # (Table.row_count — driver-side metadata, no Spark job), so
+        # each table pays exactly ONE job here: its rewrite. The
+        # pending count isn't knowable from footers (it's an anti-join
+        # result), so its file target uses the frontier row count as an
+        # upper bound — never fewer files than optimal, a few more at
+        # worst, and sizing is heuristic anyway.
+        n_p = self.t_frontier.row_count()
         self._hostpart_write(self.t_frontier, pending,
                              {"round": last, "compacted": True},
                              mode="overwrite",
                              coalesce=max(1, n_p // 500_000 + 1))
-        n_f = fetched.count()
+        n_f = self.t_fetched.row_count()
         self._hostpart_write(self.t_fetched, fetched,
                              {"round": last, "compacted": True},
                              mode="overwrite",
                              coalesce=max(1, n_f // 500_000 + 1))
         for t, schema in ((self.t_seen, SEEN_SCHEMA),
                           (self.t_items, self.items_table_schema())):
+            n = t.row_count()
             df = t.read(self.spark, schema=schema)
-            n = df.count()
             t.overwrite(df.coalesce(max(1, n // 500_000 + 1)),
                         {"round": last, "compacted": True})
         # host_stats deltas are mergeable sums: collapse to ONE row per

@@ -1,0 +1,233 @@
+"""Round-6 pinned fixes.
+
+- ADVICE (autoconfig): item selector is computed from ALL discovered
+  candidates BEFORE field selection (reference fieldmanager.go runs
+  fieldSelection on the already-built scraper), so keeping one field
+  can't collapse `item` to a deeper node.
+- ADVICE (cli train): goskyr.class lists first-appearance order over
+  the FULL parsed label array (golearn accumulates class values while
+  parsing the whole CSV), not just the 75% training split.
+- ADVICE (bpe): pretokenize strips only ASCII spaces, matching the
+  column path's F.trim — tab/newline padding pretokenizes identically.
+- ADVICE (queries): *_indexed queries cache their parquet index per
+  (kind, sf_dir) — repeated invocations reuse one directory.
+- VERDICT #4: StaticFetcher keeps one requests.Session per instance
+  (HTTP keep-alive) — politeness semantics unchanged.
+- VERDICT #7: compact() runs no DataFrame.count() actions — coalesce
+  sizing comes from parquet footer metadata (Table.row_count()).
+"""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from goskyr_spark.ops.autoconfig import infer_scraper
+from goskyr_spark.ops.bpe import pretokenize
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from goskyr_spark.spark.session import get_spark
+
+    return get_spark(app="round6-tests", master="local[4]",
+                     shuffle_partitions=4)
+
+
+# --- autoconfig: selection must not move the item selector -----------------
+
+def _event_page():
+    items = "".join(
+        f'<div class="event"><span class="title">Show {i}</span>'
+        f'<span class="when">2025-0{i % 9 + 1}-01</span>'
+        f'<a class="more" href="/e/{i}">details</a></div>'
+        for i in range(8))
+    return "https://ex.test/", f"<html><body><div id='list'>{items}</div></body></html>"
+
+
+def test_item_selector_unchanged_by_field_selection():
+    url, html = _event_page()
+    full = infer_scraper(html, url, min_occ=5)
+    assert full is not None and len(full.fields) >= 2
+    for keep in range(len(full.fields)):
+        sub = infer_scraper(html, url, min_occ=5,
+                            select=lambda c, n, k=keep: [k])
+        assert sub.item == full.item, (
+            f"keeping only field {keep} moved the item selector "
+            f"{full.item!r} -> {sub.item!r}")
+        # item COUNT is unchanged too (the semantics the reference
+        # preserves: selection never changes what an item is)
+        from goskyr_spark.kernels.scrape import scrape_page
+
+        assert len(scrape_page(sub, url, html).items) == \
+            len(scrape_page(full, url, html).items)
+
+
+# --- cli train: goskyr.class covers labels absent from the train split -----
+
+def test_goskyr_class_covers_heldout_only_labels(tmp_path, monkeypatch,
+                                                capsys):
+    from goskyr_spark.cli import main as cli_main
+    from goskyr_spark.ops.mlfeatures import features_row, write_features_csv
+    from goskyr_spark.ops.wordlist import default_words
+
+    n = 40
+    # replay train_model's deterministic split (seed=42) to find an
+    # index that lands in the held-out quarter, and give it a UNIQUE
+    # class — the reference's goskyr.class still lists it
+    rng = np.random.default_rng(42)
+    te = rng.permutation(n)[int(n * 0.75):]
+    rare_idx = int(te[0])
+    words = default_words()
+    rows = []
+    for i in range(n):
+        cls = "rare" if i == rare_idx else ("title" if i % 2 else "date")
+        val = f"Value {i}" if i % 2 else f"2025-01-{i % 28 + 1:02d}"
+        rows.append((features_row(val, words), cls))
+    csv = tmp_path / "f.csv"
+    write_features_csv(rows, str(csv))
+    monkeypatch.chdir(tmp_path)
+    assert cli_main(["train", "-f", str(csv)]) == 0
+    capsys.readouterr()
+    classes = (tmp_path / "goskyr.class").read_text().split()
+    assert "rare" in classes, \
+        "class present only in the held-out quarter must still be listed"
+    # first-appearance order over the full parsed label array
+    expect = list(dict.fromkeys(c for _, c in rows))
+    assert classes == expect
+
+
+# --- bpe: whitespace-strip parity between python and column paths ----------
+
+def test_pretokenize_whitespace_parity(spark):
+    from goskyr_spark.ops.bpe import pretoken_counts
+
+    texts = ["\nHello world\n", "\t tabs\tand\nnewlines \t",
+             "  plain spaces  ", "mixed \n inner\ttabs"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    dist = {r["pretoken"]: r["cnt"]
+            for r in pretoken_counts(df).collect()}
+    local = {}
+    for t in texts:
+        for tok in pretokenize(t):
+            local[tok] = local.get(tok, 0) + 1
+    assert dist == local
+
+
+# --- queries: indexed-query parquet index is cached per process ------------
+
+def test_indexed_query_cache_reuses_dir(spark, tmp_path):
+    import goskyr_spark.queries as Q
+
+    sf_dir = os.environ.get("GOSKYR_TEST_SF",
+                            "/root/testdata/sf0.001")
+    Q._INDEX_CACHE.clear()
+    r1 = Q.q_sim_ann_lsh_indexed(spark, sf_dir).collect()
+    path1 = Q._INDEX_CACHE[("srp", sf_dir)]
+    r2 = Q.q_sim_ann_lsh_indexed(spark, sf_dir).collect()
+    assert Q._INDEX_CACHE[("srp", sf_dir)] == path1  # no rebuild
+    assert r1 == r2
+
+
+# --- fetchers: keep-alive session ------------------------------------------
+
+def test_static_fetcher_uses_one_session():
+    """One requests.Session per StaticFetcher instance; headers carry
+    the goskyr UA + Accept: */* on every call; non-200 still raises."""
+    from goskyr_spark.spark import fetchers as fmod
+
+    calls = []
+
+    class FakeResp:
+        def __init__(self, status):
+            self.status_code = status
+            self.reason = "OK" if status == 200 else "ERR"
+            self.text = "<html>ok</html>"
+
+    class FakeSession:
+        instances = 0
+
+        def __init__(self):
+            FakeSession.instances += 1
+            self.headers = {}
+
+        def get(self, url, headers=None, timeout=None):
+            calls.append((url, dict(headers or {}), timeout))
+            return FakeResp(404 if url.endswith("/missing") else 200)
+
+    import requests
+
+    orig = requests.Session
+    requests.Session = FakeSession
+    try:
+        FakeSession.instances = 0
+        f = fmod.StaticFetcher(timeout=5)
+        assert f.fetch("https://a.test/1") == "<html>ok</html>"
+        assert f.fetch("https://a.test/2") == "<html>ok</html>"
+        with pytest.raises(fmod.FetchError) as ei:
+            f.fetch("https://a.test/missing")
+        assert ei.value.status == 404
+        assert FakeSession.instances == 1, \
+            "all fetches must reuse ONE session (keep-alive)"
+        for _, headers, timeout in calls:
+            assert headers["User-Agent"] == fmod.DEFAULT_USER_AGENT
+            assert headers["Accept"] == "*/*"
+            assert timeout == 5
+    finally:
+        requests.Session = orig
+
+
+# --- crawl compaction: no count() actions ----------------------------------
+
+def test_compact_runs_no_dataframe_counts(spark, tmp_path, monkeypatch):
+    from datetime import datetime, timezone
+
+    from goskyr_spark.spark.crawl import CrawlEngine
+    from goskyr_spark.synth import (SynthSpec, event_scraper, host_name,
+                                    synth_pages_df)
+
+    spec = SynthSpec(n_hosts=3, pages_per_host=2, items_per_page=2,
+                     hot_hosts=1, hot_factor=2)
+    pages = synth_pages_df(spark, spec, include_fixtures=False)
+    wd = str(tmp_path / "crawl")
+    eng = CrawlEngine(spark, wd, pages, event_scraper,
+                      [f"https://{host_name(h)}/list/1"
+                       for h in range(spec.n_hosts)],
+                      now=datetime(2026, 3, 1, tzinfo=timezone.utc))
+    eng.run(max_rounds=4)
+
+    import bench as bench_mod
+
+    digest_before = bench_mod.crawl_state_digest(eng, spark)
+
+    from pyspark.sql import DataFrame
+
+    def no_count(self):
+        raise AssertionError(
+            "compact() must not run DataFrame.count() — sizing comes "
+            "from parquet footer metadata (Table.row_count)")
+
+    monkeypatch.setattr(DataFrame, "count", no_count)
+    try:
+        eng.compact()
+    finally:
+        monkeypatch.undo()
+    assert bench_mod.crawl_state_digest(eng, spark) == digest_before
+    # compaction is still a valid resume point
+    assert eng.last_complete_round() >= 0
+
+
+def test_table_row_count_matches(spark, tmp_path):
+    from goskyr_spark.spark.store import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "st"))
+    t = store.table("x")
+    df = spark.range(0, 137).selectExpr("id", "id * 2 AS v")
+    t.append(df.coalesce(2))
+    assert t.row_count() == 137
+    t.append(spark.range(0, 5).selectExpr("id", "id * 3 AS v"))
+    assert t.row_count() == 142
+    t.overwrite(spark.range(0, 9).selectExpr("id", "id AS v"))
+    assert t.row_count() == 9
