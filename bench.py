@@ -312,6 +312,7 @@ def bench_queries(spark):
     picks = ["ex_text_css", "ex_date", "ex_items_explode", "dedup_exact",
              "dedup_lines", "dedup_substring", "txt_pii",
              "dedup_minhash_lsh", "dedup_minhash_lsh_capped",
+             "dedup_minhash128",
              "dedup_jaccard", "dedup_jaccard_capped", "dedup_components",
              "dedup_components_capped", "dedup_incremental",
              "dedup_incremental_verified",

@@ -59,23 +59,61 @@ def exact_dedup(documents, text_col="text", id_col="doc_id"):
 # A < 2^15 and base < 2^48 keep A*base+B below 2^63 — no overflow in
 # either Spark or the DuckDB oracle. ONE md5 per shingle; the
 # permutations are codegen'd multiply-adds.
+#
+# MINHASH_A/B are the FROZEN first-8 constants (the 8-perm catalog
+# oracle replays them verbatim — they must never change);
+# ``minhash_params`` extends the family to ANY width deterministically
+# for production-width signatures (~128 perms at web scale).
 MINHASH_P = 281474976710597          # largest prime < 2^48
 MINHASH_A = [24593, 12289, 5279, 30011, 18913, 7151, 4793, 28411]
 MINHASH_B = [(k + 1) * 2654435761 for k in range(8)]
+
+_M64 = (1 << 64) - 1
+
+
+def _splitmix64(x):
+    """SplitMix64 finalizer — the standard seed-expansion mixer."""
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    return x ^ (x >> 31)
+
+
+def minhash_params(num_perm, seed=0x6D696E68):
+    """(A, B) lists of length ``num_perm`` for the affine family.
+
+    The first 8 entries ARE the frozen MINHASH_A/B constants (so every
+    8-perm signature — and its pinned DuckDB oracle — is unchanged at
+    any width); entries beyond 8 are derived with SplitMix64 from
+    (seed, k): A[k] in [1, 2^15) keeps A·base+B < 2^63 (the documented
+    overflow-proof bound — max A·(2^48−1)+B < 2^63 since A ≤ 32767 and
+    B < P), B[k] in [0, P). Deterministic: same seed → same family on
+    every run, every machine."""
+    A, B = list(MINHASH_A[:num_perm]), list(MINHASH_B[:num_perm])
+    for k in range(8, num_perm):
+        A.append(int(_splitmix64((seed << 32) | (2 * k))) % 32747 + 1)
+        B.append(int(_splitmix64((seed << 32) | (2 * k + 1))) % MINHASH_P)
+    assert len(set(zip(A, B))) == len(A), "degenerate affine family"
+    return A, B
 
 
 def minhash_signatures(documents, text_col="text", id_col="doc_id",
                        num_perm=8, shingle_n=3):
     """MinHash signature per doc: sig_k = min((A[k]*base+B[k]) mod P),
-    base = conv(substr(md5(shingle),1,12),16,10)."""
-    assert num_perm <= len(MINHASH_A)
+    base = conv(substr(md5(shingle),1,12),16,10).
+
+    Any ``num_perm`` is supported (affine family from minhash_params);
+    the per-perm mins are map-side-combined fixed-width longs, so a
+    128-perm signature shuffle carries 1 KB/doc regardless of text
+    size. ONE md5 per shingle at any width."""
+    A, B = minhash_params(num_perm)
     sh = documents.select(F.col(id_col),
                           F.explode(shingles_expr(text_col, shingle_n))
                           .alias("shingle"))
     base = F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 12),
                   16, 10).cast("long")
     sh = sh.select(id_col, base.alias("h"))
-    aggs = [F.min((F.lit(MINHASH_A[k]) * F.col("h") + F.lit(MINHASH_B[k]))
+    aggs = [F.min((F.lit(A[k]) * F.col("h") + F.lit(B[k]))
                   % F.lit(MINHASH_P)).alias(f"sig_{k}")
             for k in range(num_perm)]
     return sh.groupBy(id_col).agg(*aggs)

@@ -316,6 +316,23 @@ def q_dedup_minhash_lsh_capped(spark, sf_dir):
                                       max_bucket=2)
 
 
+def q_dedup_minhash128(spark, sf_dir):
+    """Production-WIDTH MinHash banding: 128 permutations as 16 bands ×
+    8 rows — the (r, b) shape web-scale near-dup actually ships (an
+    8-perm signature's S-curve is far too shallow at billions of docs).
+    Same single-pass banding plan as the catalog's 8-perm variant: ONE
+    md5 per shingle, 128 map-side-combined min aggregates (1 KB/doc
+    fixed-width shuffle), bucket cap 64. The affine family beyond the
+    frozen first 8 comes from minhash_params (seeded SplitMix64);
+    tests/test_minhash_width.py pins the family's S-curve against
+    1-(1-J^r)^b on similarity-controlled synthetic pairs."""
+    from .ops.dedup import minhash_lsh_buckets_capped
+
+    return minhash_lsh_buckets_capped(documents(spark, sf_dir),
+                                      num_perm=128, band_size=8,
+                                      max_bucket=64)
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Rolling-ingest near-dup detection (beyond-reference LLM-pipeline
     op): the batch (doc_id % 4 == 0) is deduped against the LSH index
@@ -1241,11 +1258,12 @@ ORACLES_OPS["mm_frames"] = f"""
 
 
 def _minhash_oracle(num_perm=8, band_size=2, max_bucket=None):
-    from .ops.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+    from .ops.dedup import MINHASH_P, minhash_params
 
+    A, B = minhash_params(num_perm)
     base = "(('0x' || substr(md5(shingle), 1, 12))::BIGINT)"
     sig_cols = ",\n                 ".join(
-        f"min(({MINHASH_A[k]} * {base} + {MINHASH_B[k]}) % {MINHASH_P}) "
+        f"min(({A[k]} * {base} + {B[k]}) % {MINHASH_P}) "
         f"AS sig_{k}" for k in range(num_perm))
     bands = []
     for b in range(num_perm // band_size):
@@ -1268,6 +1286,9 @@ def _minhash_oracle(num_perm=8, band_size=2, max_bucket=None):
 _MINHASH_ORACLE_TMPL = ORACLES_OPS["dedup_minhash_lsh"]
 ORACLES_OPS["dedup_minhash_lsh"] = _minhash_oracle()
 ORACLES_OPS["dedup_minhash_lsh_capped"] = _minhash_oracle(max_bucket=2)
+ORACLES_OPS["dedup_minhash128"] = _minhash_oracle(num_perm=128,
+                                                  band_size=8,
+                                                  max_bucket=64)
 
 
 def _incremental_oracle(num_perm=8, band_size=2):
@@ -2303,6 +2324,7 @@ def extra_queries():
     # tests/test_oracle_parity.py, which runs catalog + extras.
     return {
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash128": q_dedup_minhash128,
         "dedup_incremental": q_dedup_incremental,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_components": q_dedup_components,
