@@ -310,7 +310,8 @@ def bench_queries(spark):
     from goskyr_spark.queries import all_queries, extra_queries
 
     picks = ["ex_text_css", "ex_date", "ex_items_explode", "dedup_exact",
-             "dedup_lines", "dedup_substring", "txt_pii",
+             "dedup_lines", "dedup_substring", "dedup_substring_cut",
+             "txt_pii",
              "dedup_minhash_lsh", "dedup_minhash_lsh_capped",
              "dedup_minhash128",
              "dedup_jaccard", "dedup_jaccard_capped", "dedup_components",

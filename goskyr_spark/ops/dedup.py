@@ -512,6 +512,75 @@ def dedup_lines(documents, max_docs=2, text_col="text", id_col="doc_id",
             .orderBy(id_col))
 
 
+def substring_dedup_cut(documents, k=8, text_col="text", id_col="doc_id"):
+    """Exact-substring REMOVAL (the output of "Deduplicating Training
+    Data Makes Language Models Better", Lee et al. 2021 §4 — their
+    suffix-array span dedup approximated with fixed-k token windows,
+    the Spark-friendly shape): every ≥k-token span that appears more
+    than once in the corpus is CUT from every occurrence except the
+    corpus-wide first one (min (doc_id, position)); adjacent duplicated
+    windows merge naturally, because a token is removed iff ANY
+    duplicated window covers it.
+
+    Contract (replayed verbatim by the DuckDB oracle and the
+    pure-Python randomized oracle in tests/test_round6_fixes.py):
+    tokens = split(lower(trim(text)), r"\\s+") (1-based positions);
+    window occurrence (doc, i) for i in 1..n-k+1 with hash
+    md5(join(tokens[i:i+k], ' ')); an occurrence is a duplicate iff its
+    hash occurs >1 times corpus-wide AND (doc, i) is not the
+    lexicographically-first occurrence; token p of a doc is removed iff
+    some duplicate occurrence (doc, s) has s ≤ p ≤ s+k-1. Output one
+    row per input doc: (doc_id, text_cut, n_kept, n_removed), docs
+    shorter than k tokens pass through uncut.
+
+    Scale: window hashes are computed IN-ROW (transform over a
+    sequence — map-only, one md5 per window); the occurrence shuffle
+    carries (hash, doc_id, start) only — never text; the canonical-
+    occurrence aggregation is a map-side-combinable min-struct + count;
+    duplicate starts fold back to one small array per affected doc, so
+    the single text-bearing step is the final join of that array onto
+    the documents scan (AQE broadcasts it — dup spans are the minority)
+    and the token filtering runs in-row. No self-joins, no collects."""
+    w = _words(F.lower(F.col(text_col)))
+    gram_hashes = F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, k)))))\
+        .otherwise(F.array().cast("array<string>"))
+    occ = (documents
+           .select(F.col(id_col),
+                   F.posexplode(gram_hashes).alias("_i", "_g"))
+           .select(id_col, (F.col("_i") + 1).alias("start"), "_g"))
+    canon = (occ.groupBy("_g")
+             .agg(F.min(F.struct(F.col(id_col).alias("d"),
+                                 F.col("start").alias("s"))).alias("_first"),
+                  F.count("*").alias("_cnt")))
+    dup = (occ.join(canon, "_g")
+           .filter((F.col("_cnt") > 1)
+                   & ~((F.col(id_col) == F.col("_first.d"))
+                       & (F.col("start") == F.col("_first.s"))))
+           .select(id_col, "start"))
+    cuts = (dup.groupBy(id_col)
+            .agg(F.collect_set("start").alias("_cuts")))
+    joined = documents.select(F.col(id_col), F.col(text_col)) \
+        .join(cuts, id_col, "left")
+    cut_arr = F.coalesce(F.col("_cuts"), F.array().cast("array<int>"))
+    kept_idx = F.filter(
+        F.sequence(F.lit(1), F.size(w)),
+        lambda p: ~F.exists(cut_arr,
+                            lambda s: (s <= p) & (s >= p - (k - 1))))
+    return (joined
+            .select(F.col(id_col),
+                    F.concat_ws(" ", F.transform(
+                        kept_idx, lambda p: F.element_at(w, p)))
+                    .alias("text_cut"),
+                    F.size(kept_idx).cast("long").alias("n_kept"),
+                    (F.size(w) - F.size(kept_idx)).cast("long")
+                    .alias("n_removed"))
+            .orderBy(id_col))
+
+
 def substring_dup_stats(documents, k=8, text_col="text", id_col="doc_id"):
     """Per-doc verbatim-overlap statistics: the fraction of a document's
     DISTINCT k-token windows that also appear verbatim in another

@@ -408,6 +408,17 @@ def q_dedup_substring(spark, sf_dir):
     return substring_dup_stats(documents(spark, sf_dir), k=8)
 
 
+def q_dedup_substring_cut(spark, sf_dir):
+    """Exact-substring REMOVAL (Lee et al. 2021 §4 output shape): every
+    duplicated ≥8-token window is cut from all but its corpus-wide
+    first occurrence, adjacent duplicated windows merging into spans.
+    The synthetic corpus's near-dup docs share real verbatim spans, so
+    the cut path has signal at every sf."""
+    from .ops.dedup import substring_dedup_cut
+
+    return substring_dedup_cut(documents(spark, sf_dir), k=8)
+
+
 def q_txt_pii(spark, sf_dir):
     """PII scrubbing (emails first, then IPv4). The synthetic corpus
     carries no PII, so the query injects it deterministically (same
@@ -1011,6 +1022,52 @@ ORACLES_OPS = {
         FROM documents d
         LEFT JOIN per_doc p USING (doc_id)
         LEFT JOIN dup_doc x USING (doc_id)
+        ORDER BY d.doc_id""",
+    # exact-substring REMOVAL: independent relational statement of the
+    # substring_dedup_cut contract — window occurrences ranked per hash
+    # (rn=1 is the corpus-wide first by (doc_id, start)), duplicate
+    # occurrences expand to covered token positions, kept tokens
+    # reassemble in order
+    "dedup_substring_cut": """
+        WITH t AS (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\\s+') AS w
+          FROM documents),
+        occ AS (
+          SELECT doc_id, i AS start,
+                 md5(array_to_string(w[i:i+7], ' ')) AS g
+          FROM (SELECT doc_id, w,
+                       unnest(range(1, greatest(len(w) - 7, 0) + 1)) AS i
+                FROM t)),
+        r AS (
+          SELECT doc_id, start,
+                 row_number() OVER (PARTITION BY g
+                                    ORDER BY doc_id, start) AS rn,
+                 count(*) OVER (PARTITION BY g) AS cnt
+          FROM occ),
+        dup AS (SELECT doc_id, start FROM r WHERE cnt > 1 AND rn > 1),
+        cutp AS (SELECT DISTINCT doc_id, p
+                 FROM (SELECT doc_id, unnest(range(start, start + 8)) AS p
+                       FROM dup)),
+        toks AS (SELECT doc_id, p, w[p] AS tok
+                 FROM (SELECT doc_id, w,
+                              unnest(range(1, len(w) + 1)) AS p
+                       FROM t)),
+        kept AS (SELECT doc_id, p, tok
+                 FROM toks ANTI JOIN cutp USING (doc_id, p)),
+        agg AS (SELECT doc_id,
+                       string_agg(tok, ' ' ORDER BY p) AS text_cut,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id),
+        n AS (SELECT doc_id, len(w) AS n_tok FROM t)
+        SELECT d.doc_id,
+               coalesce(a.text_cut, '') AS text_cut,
+               CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(n.n_tok - coalesce(a.n_kept, 0) AS BIGINT)
+                   AS n_removed
+        FROM documents d
+        JOIN n USING (doc_id)
+        LEFT JOIN agg a USING (doc_id)
         ORDER BY d.doc_id""",
     "txt_pii": """
         WITH injected AS (
@@ -2273,6 +2330,7 @@ def all_queries():
         # --- deduplication ---
         "dedup_exact": q_dedup_exact,
         "dedup_lines": q_dedup_lines,
+        "dedup_substring_cut": q_dedup_substring_cut,
         "dedup_minhash_lsh_capped": q_dedup_minhash_lsh_capped,
         "dedup_incremental_verified": q_dedup_incremental_verified,
         "dedup_jaccard_capped": q_dedup_jaccard_capped,
@@ -2292,7 +2350,6 @@ def all_queries():
         "sim_topk": q_sim_topk,
         "sim_ivf_assign": q_sim_ivf_assign,
         "sim_ann_lsh_multi": q_sim_ann_lsh_multi,
-        "sim_ann_lsh_probed": q_sim_ann_lsh_probed,
         "sim_ann_ivf_probed": q_sim_ann_ivf_probed,
         "sim_ivf_train": q_sim_ivf_train,
         "sim_ann_ivf_trained": q_sim_ann_ivf_trained,
@@ -2334,6 +2391,7 @@ def extra_queries():
         "url_canonicalize": q_url_canonicalize,
         "sim_lsh_buckets": q_sim_lsh_buckets,
         "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_lsh_probed": q_sim_ann_lsh_probed,
         "sim_ann_ivf": q_sim_ann_ivf,
         "dedup_substring": q_dedup_substring,
         "txt_pii": q_txt_pii,

@@ -231,3 +231,98 @@ def test_table_row_count_matches(spark, tmp_path):
     assert t.row_count() == 142
     t.overwrite(spark.range(0, 9).selectExpr("id", "id AS v"))
     assert t.row_count() == 9
+
+
+# --- exact-substring REMOVAL (Lee et al. output shape) ---------------------
+
+def test_substring_cut_randomized_vs_python_oracle(spark):
+    """Seeded random batch through substring_dedup_cut vs an
+    independent pure-Python implementation of the same contract
+    (the dedup_lines test pattern, round-5)."""
+    import hashlib
+    import random
+
+    from goskyr_spark.ops.dedup import substring_dedup_cut
+
+    rng = random.Random(41)
+    k = 5
+    words = [f"w{i}" for i in range(25)]
+    boiler = ["b1 b2 b3 b4 b5 b6 b7", "c1 c2 c3 c4 c5"]
+    docs = []
+    for i in range(70):
+        body = " ".join(rng.choice(words)
+                        for _ in range(rng.randint(2, 30)))
+        roll = rng.random()
+        if roll < 0.25:
+            body = f"{body} {rng.choice(boiler)}"
+        elif roll < 0.4:
+            body = f"{rng.choice(boiler)} {body}"
+        docs.append((i, body))
+    # a few exact dups: the later copies must be cut entirely
+    docs.append((70, docs[3][1]))
+    docs.append((71, docs[3][1]))
+
+    # pure-Python oracle
+    occ = []  # (doc, start 1-based, hash)
+    toks = {}
+    for i, t in docs:
+        w = t.strip().lower().split()
+        toks[i] = w
+        for s in range(len(w) - k + 1):
+            occ.append((i, s + 1,
+                        hashlib.md5(" ".join(w[s:s + k]).encode())
+                        .hexdigest()))
+    from collections import defaultdict
+    by_hash = defaultdict(list)
+    for d, s, g in occ:
+        by_hash[g].append((d, s))
+    cut_positions = defaultdict(set)
+    for g, occs in by_hash.items():
+        if len(occs) < 2:
+            continue
+        first = min(occs)
+        for d, s in occs:
+            if (d, s) != first:
+                cut_positions[d].update(range(s, s + k))
+    want = {}
+    for i, _ in docs:
+        w = toks[i]
+        kept = [w[p - 1] for p in range(1, len(w) + 1)
+                if p not in cut_positions[i]]
+        want[i] = (" ".join(kept), len(kept), len(w) - len(kept))
+
+    out = substring_dedup_cut(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        k=k).collect()
+    got = {r["doc_id"]: (r["text_cut"], r["n_kept"], r["n_removed"])
+           for r in out}
+    assert got == want
+    # the batch exercised the cut path, and exact-dup copies were
+    # cut entirely while the first occurrence survived
+    assert sum(v[2] for v in want.values()) > 0
+    assert got[71][1] == 0 and got[3][1] == len(toks[3])
+
+
+def test_substring_cut_keeps_first_occurrence_and_merges_spans(spark):
+    from goskyr_spark.ops.dedup import substring_dedup_cut
+
+    shared = "s1 s2 s3 s4 s5 s6"          # 6 tokens, k=4 -> 3 windows
+    docs = [(0, f"alpha beta {shared} gamma"),
+            (1, f"x {shared} y z"),        # later doc: span cut
+            (2, "no overlap here at all")]
+    out = {r["doc_id"]: r for r in substring_dedup_cut(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        k=4).collect()}
+    assert out[0]["n_removed"] == 0       # first occurrence kept whole
+    assert out[1]["text_cut"] == "x y z"  # adjacent windows merged
+    assert out[1]["n_removed"] == 6
+    assert out[2]["n_removed"] == 0
+
+
+def test_catalog_capped_at_50():
+    from goskyr_spark.queries import all_oracles, all_queries
+
+    qs = all_queries()
+    assert len(qs) <= 50
+    assert "dedup_substring_cut" in qs
+    assert "dedup_substring_cut" in all_oracles()
