@@ -331,7 +331,8 @@ def bench_queries(spark):
              "curate_gopher", "curate_corpus", "curate_corpus_capped",
              "url_canonicalize", "url_canonicalize_full",
              "mm_decode", "mm_resize", "mm_frames", "mm_audio",
-             "curate_keep", "curate_decontaminate", "curate_split",
+             "curate_keep", "curate_decontaminate",
+             "curate_decontaminate_cut", "curate_split",
              "curate_mixture", "warc_roundtrip",
              "curate_token_budget"]
     qs = dict(extra_queries())

@@ -51,6 +51,37 @@ def contamination_flags(documents, benchmark, shingle_n=3, min_overlap=2,
             .orderBy(id_col))
 
 
+def decontaminate_cut(documents, benchmark, n=13, text_col="text",
+                      id_col="doc_id"):
+    """Benchmark decontamination with SPAN REMOVAL at the industry-
+    standard window width: every ``n``-token (default 13 — the
+    GPT-3/PaLM-style 13-gram rule) window of a corpus doc that appears
+    verbatim in the benchmark set is cut, overlapping windows merging
+    into spans — the removal counterpart of ``contamination_flags``
+    (which only flags).
+
+    Scale: the benchmark window-hash set is small by definition and
+    BROADCASTS; the corpus side is one in-row window-hash pass (same
+    map-only shape as substring dedup) + broadcast semi-join; the
+    marked starts fold to one small array per affected doc, so corpus
+    text moves through a single join and the token cutting runs
+    in-row. Tokenization matches contamination_flags (trim + split, no
+    lowercasing). Output one row per corpus doc: (doc_id, text_cut,
+    n_kept, n_removed, contaminated)."""
+    from .dedup import _words, cut_marked_windows, window_occurrences
+
+    w = _words(F.col(text_col))
+    bset = (window_occurrences(benchmark, n, w, id_col)
+            .select("_g").distinct())
+    occ = window_occurrences(documents, n, w, id_col)
+    marked = (occ.join(F.broadcast(bset), "_g")
+              .select(id_col, "start"))
+    out = cut_marked_windows(documents, marked, n, w, text_col, id_col)
+    return out.withColumn(
+        "contaminated",
+        F.when(F.col("n_removed") > 0, 1).otherwise(0).cast("long"))
+
+
 def split_assign(documents, id_col="doc_id", train_pct=90, val_pct=5):
     """Deterministic train/val/test assignment by content-independent
     id hash (md5 — identical in the SQL oracle): bucket = first 48 bits

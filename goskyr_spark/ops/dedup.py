@@ -542,16 +542,7 @@ def substring_dedup_cut(documents, k=8, text_col="text", id_col="doc_id"):
     the documents scan (AQE broadcasts it — dup spans are the minority)
     and the token filtering runs in-row. No self-joins, no collects."""
     w = _words(F.lower(F.col(text_col)))
-    gram_hashes = F.when(
-        F.size(w) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (k - 1)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, k)))))\
-        .otherwise(F.array().cast("array<string>"))
-    occ = (documents
-           .select(F.col(id_col),
-                   F.posexplode(gram_hashes).alias("_i", "_g"))
-           .select(id_col, (F.col("_i") + 1).alias("start"), "_g"))
+    occ = window_occurrences(documents, k, w, id_col)
     canon = (occ.groupBy("_g")
              .agg(F.min(F.struct(F.col(id_col).alias("d"),
                                  F.col("start").alias("s"))).alias("_first"),
@@ -561,22 +552,52 @@ def substring_dedup_cut(documents, k=8, text_col="text", id_col="doc_id"):
                    & ~((F.col(id_col) == F.col("_first.d"))
                        & (F.col("start") == F.col("_first.s"))))
            .select(id_col, "start"))
-    cuts = (dup.groupBy(id_col)
+    return cut_marked_windows(documents, dup, k, w, text_col, id_col)
+
+
+def window_occurrences(documents, k, words_expr, id_col="doc_id"):
+    """(id, start 1-based, _g=md5 of the k-token window) — one row per
+    window OCCURRENCE. Hashes are computed in-row (transform over a
+    sequence, map-only, one md5 per window); docs shorter than k yield
+    no rows."""
+    gram_hashes = F.when(
+        F.size(words_expr) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words_expr) - (k - 1)),
+            lambda i: F.md5(F.concat_ws(" ",
+                                        F.slice(words_expr, i, k)))))\
+        .otherwise(F.array().cast("array<string>"))
+    return (documents
+            .select(F.col(id_col),
+                    F.posexplode(gram_hashes).alias("_i", "_g"))
+            .select(id_col, (F.col("_i") + 1).alias("start"), "_g"))
+
+
+def cut_marked_windows(documents, marked, k, words_expr, text_col,
+                       id_col="doc_id"):
+    """Remove every token covered by a MARKED window occurrence.
+
+    ``marked`` is a small (id, start) df (duplicate or contaminated
+    window starts); it folds to one array per affected doc, joins onto
+    the documents scan (AQE broadcasts — marked docs are the minority),
+    and the token filtering runs in-row. Output one row per input doc:
+    (id, text_cut, n_kept, n_removed)."""
+    cuts = (marked.groupBy(id_col)
             .agg(F.collect_set("start").alias("_cuts")))
     joined = documents.select(F.col(id_col), F.col(text_col)) \
         .join(cuts, id_col, "left")
     cut_arr = F.coalesce(F.col("_cuts"), F.array().cast("array<int>"))
     kept_idx = F.filter(
-        F.sequence(F.lit(1), F.size(w)),
+        F.sequence(F.lit(1), F.size(words_expr)),
         lambda p: ~F.exists(cut_arr,
                             lambda s: (s <= p) & (s >= p - (k - 1))))
     return (joined
             .select(F.col(id_col),
                     F.concat_ws(" ", F.transform(
-                        kept_idx, lambda p: F.element_at(w, p)))
+                        kept_idx, lambda p: F.element_at(words_expr, p)))
                     .alias("text_cut"),
                     F.size(kept_idx).cast("long").alias("n_kept"),
-                    (F.size(w) - F.size(kept_idx)).cast("long")
+                    (F.size(words_expr) - F.size(kept_idx)).cast("long")
                     .alias("n_removed"))
             .orderBy(id_col))
 

@@ -766,6 +766,21 @@ def q_curate_decontaminate(spark, sf_dir):
     return contamination_flags(docs, bench, shingle_n=3, min_overlap=2)
 
 
+def q_curate_decontaminate_cut(spark, sf_dir):
+    """13-gram benchmark decontamination with SPAN REMOVAL: corpus docs
+    (doc_id % 5 != 0) lose every 13-token window appearing verbatim in
+    the benchmark slice (doc_id % 5 == 0) — the removal counterpart of
+    the 3-gram flag variant (extras). The denser benchmark slice gives
+    the 13-gram rule real signal on the synthetic corpus (13 cut docs
+    at sf0.01)."""
+    from .ops.curate import decontaminate_cut
+
+    docs = documents(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return decontaminate_cut(corpus, bench, n=13)
+
+
 def q_curate_split(spark, sf_dir):
     """Deterministic train/val/test assignment (md5 id-hash buckets)."""
     from .ops.curate import split_assign
@@ -2017,6 +2032,49 @@ ORACLES_OPS["curate_decontaminate"] = f"""
     FROM documents d LEFT JOIN hits h USING (doc_id)
     ORDER BY doc_id"""
 
+# 13-gram decontamination with span removal: independent relational
+# statement of decontaminate_cut — benchmark window set (mod-5 slice),
+# corpus window occurrences matched by hash, covered positions cut,
+# kept tokens reassembled in order
+ORACLES_OPS["curate_decontaminate_cut"] = """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents),
+    occ AS (
+      SELECT doc_id, i AS start,
+             md5(array_to_string(w[i:i+12], ' ')) AS g
+      FROM (SELECT doc_id, w,
+                   unnest(range(1, greatest(len(w) - 12, 0) + 1)) AS i
+            FROM t)),
+    bset AS (SELECT DISTINCT g FROM occ WHERE doc_id % 5 = 0),
+    corp AS (SELECT doc_id, w FROM t WHERE doc_id % 5 != 0),
+    marked AS (SELECT o.doc_id, o.start
+               FROM occ o JOIN bset USING (g)
+               WHERE o.doc_id % 5 != 0),
+    cutp AS (SELECT DISTINCT doc_id, p
+             FROM (SELECT doc_id,
+                          unnest(range(start, start + 13)) AS p
+                   FROM marked)),
+    toks AS (SELECT doc_id, p, w[p] AS tok
+             FROM (SELECT doc_id, w,
+                          unnest(range(1, len(w) + 1)) AS p
+                   FROM corp)),
+    kept AS (SELECT doc_id, p, tok
+             FROM toks ANTI JOIN cutp USING (doc_id, p)),
+    agg AS (SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY p) AS text_cut,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+    n AS (SELECT doc_id, len(w) AS n_tok FROM corp)
+    SELECT n.doc_id,
+           coalesce(a.text_cut, '') AS text_cut,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(n.n_tok - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+           CAST(CASE WHEN n.n_tok - coalesce(a.n_kept, 0) > 0
+                THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+    FROM n LEFT JOIN agg a USING (doc_id)
+    ORDER BY n.doc_id"""
+
 ORACLES_OPS["curate_split"] = """
     SELECT doc_id, CAST(b AS BIGINT) AS bucket,
            CASE WHEN b < 90 THEN 'train'
@@ -2364,7 +2422,7 @@ def all_queries():
         # --- curation ---
         "curate_gopher": q_curate_gopher,
         "curate_keep": q_curate_keep,
-        "curate_decontaminate": q_curate_decontaminate,
+        "curate_decontaminate_cut": q_curate_decontaminate_cut,
         "curate_split": q_curate_split,
         "curate_token_budget": q_curate_token_budget,
         "curate_mixture": q_curate_mixture,
@@ -2399,6 +2457,7 @@ def extra_queries():
         "sim_ann_ivf_indexed": q_sim_ann_ivf_indexed,
         "sim_ann_pq": q_sim_ann_pq,
         "curate_corpus": q_curate_corpus,
+        "curate_decontaminate": q_curate_decontaminate,
     }
 
 

@@ -326,3 +326,78 @@ def test_catalog_capped_at_50():
     assert len(qs) <= 50
     assert "dedup_substring_cut" in qs
     assert "dedup_substring_cut" in all_oracles()
+
+
+# --- 13-gram decontamination with span removal -----------------------------
+
+def test_decontaminate_cut_removes_benchmark_spans(spark):
+    from goskyr_spark.ops.curate import decontaminate_cut
+
+    span = " ".join(f"q{i}" for i in range(13))
+    bench = spark.createDataFrame(
+        [(100, f"prefix words {span} suffix words")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(0, f"clean doc with no overlap at all right here"),
+         (1, f"leading {span} trailing"),
+         (2, f"{span}"),                       # exactly the span
+         (3, " ".join(f"q{i}" for i in range(12)))],  # 12 of 13: no cut
+        "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in decontaminate_cut(docs, bench, n=13).collect()}
+    assert out[0]["n_removed"] == 0 and out[0]["contaminated"] == 0
+    assert out[1]["text_cut"] == "leading trailing"
+    assert out[1]["n_removed"] == 13 and out[1]["contaminated"] == 1
+    assert out[2]["text_cut"] == "" and out[2]["n_kept"] == 0
+    assert out[3]["n_removed"] == 0  # sub-threshold overlap stays
+
+
+def test_decontaminate_cut_randomized_vs_python_oracle(spark):
+    import hashlib
+    import random
+
+    from goskyr_spark.ops.curate import decontaminate_cut
+
+    rng = random.Random(47)
+    n = 6
+    words = [f"v{i}" for i in range(20)]
+    bench_docs = [(900 + j, " ".join(rng.choice(words)
+                                     for _ in range(rng.randint(8, 25))))
+                  for j in range(5)]
+    docs = []
+    for i in range(60):
+        body = " ".join(rng.choice(words)
+                        for _ in range(rng.randint(2, 25)))
+        if rng.random() < 0.3:
+            src = rng.choice(bench_docs)[1].split()
+            if len(src) >= n:
+                s = rng.randrange(0, len(src) - n + 1)
+                body = f"{body} {' '.join(src[s:s + n])}"
+        docs.append((i, body))
+
+    def grams(ws):
+        return [hashlib.md5(" ".join(ws[s:s + n]).encode()).hexdigest()
+                for s in range(len(ws) - n + 1)]
+
+    bset = set()
+    for _, t in bench_docs:
+        bset.update(grams(t.split()))
+    want = {}
+    for i, t in docs:
+        ws = t.split()
+        cut = set()
+        for s, g in enumerate(grams(ws)):
+            if g in bset:
+                cut.update(range(s + 1, s + 1 + n))
+        kept = [w for p, w in enumerate(ws, 1) if p not in cut]
+        want[i] = (" ".join(kept), len(kept), len(ws) - len(kept),
+                   1 if len(ws) - len(kept) > 0 else 0)
+
+    out = decontaminate_cut(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        spark.createDataFrame(bench_docs, "doc_id long, text string"),
+        n=n).collect()
+    got = {r["doc_id"]: (r["text_cut"], r["n_kept"], r["n_removed"],
+                         r["contaminated"]) for r in out}
+    assert got == want
+    assert sum(v[3] for v in want.values()) > 0  # cut path exercised
