@@ -326,7 +326,7 @@ def bench_queries(spark):
              "sim_ivf_train", "sim_ann_ivf_trained",
              "sim_pq_train", "sim_ann_pq", "sim_ann_pq_rerank",
              "sim_ann_pq_indexed", "sim_ann_lsh_indexed",
-             "sim_ann_ivf_indexed",
+             "sim_ann_ivf_indexed", "sim_ann_ivfpq_indexed",
              "txt_repetition", "txt_gopher_quality", "txt_c4_clean",
              "curate_gopher", "curate_corpus", "curate_corpus_capped",
              "url_canonicalize", "url_canonicalize_full",

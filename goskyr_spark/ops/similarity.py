@@ -476,6 +476,101 @@ def ann_topk_pq_indexed(codes, books, qvec, query_vec_id=0, k=10,
             .orderBy(F.desc("adc_score"), id_col).limit(k))
 
 
+def ivfpq_index(embeddings, centroids, books, id_col="vec_id",
+                vec_col="embedding"):
+    """The IVF-PQ composite index — the actual 100 TB ANN shape: ONE
+    persisted table with a row per vector carrying its coarse IVF cell
+    AND its per-subspace PQ codes, (vec_id, centroid, code_0..code_m-1).
+    Built in a single map-only projection over the embeddings scan
+    (argmax-cosine coarse assign + per-subspace argmax-cosine codes);
+    at scale it is written PARTITIONED BY centroid, so a probe reads
+    only the probed cells' files and only integer code columns —
+    m + ~1 bytes per vector instead of 4·dim.
+    """
+    d_sub = len(books[0][0])
+    v = F.col(vec_col)
+    cols = [F.col(id_col),
+            _argmax_cosine_expr(v, centroids).alias("centroid")]
+    for s, book in enumerate(books):
+        sub = F.slice(v, s * d_sub + 1, d_sub)
+        cols.append(_argmax_cosine_expr(sub, book).alias(f"code_{s}"))
+    return embeddings.select(*cols)
+
+
+def ivfpq_probe_cells(embeddings, centroids, query_vec_id=0, n_probe=2,
+                      id_col="vec_id", vec_col="embedding"):
+    """Top-``n_probe`` coarse cells by query-centroid cosine (ties →
+    lowest centroid id) — a 1-row job + n_centroids-row driver sort,
+    tiny by construction (the same probe-selection contract as
+    ann_topk_ivf_probed)."""
+    qv = embeddings.filter(F.col(id_col) == query_vec_id)
+    sims = []
+    for c, cent in enumerate(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in cent])
+        sims.append(
+            (_dot(F.col(vec_col), arr) /
+             (_norm(F.col(vec_col)) * _norm(arr))).alias(f"_s{c}"))
+    row = qv.select(*sims).collect()[0]
+    ranked = sorted(range(len(centroids)),
+                    key=lambda c: (-row[f"_s{c}"], c))
+    return ranked[:n_probe]
+
+
+def ann_topk_ivfpq_indexed(index, books, qvec, cells, embeddings,
+                           query_vec_id=0, k=10, shortlist=100,
+                           id_col="vec_id", vec_col="embedding"):
+    """ANN over the persisted IVF-PQ index: the probe plan is
+
+      1. scan ONLY the probed cells' index rows (``centroid IN cells``
+         — a partition-pruning predicate when the index is written
+         partitioned by centroid) — integer codes only, the embeddings
+         column never appears in this scan (plan-asserted in
+         tests/test_plans.py);
+      2. ADC-score those rows by code-table lookup (O(m) per row,
+         round-6 per-(subspace, centroid) cosines, same determinism
+         contract as ann_topk_pq_indexed) and keep the top
+         ``shortlist``;
+      3. exact cosine re-rank of only the shortlist against the full
+         vectors (a broadcast semi-join fetch of ``shortlist`` rows).
+
+    This composes the three persisted-index pieces (ivf cells, pq
+    codes, rerank) into the one table + one probe a production
+    deployment ships."""
+    import math
+
+    d_sub = len(books[0][0])
+
+    def pycos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+        for x in a:
+            na += float(x) * float(x)
+        for y in b:
+            nb += float(y) * float(y)
+        return round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
+
+    score = F.lit(0.0)
+    for s, book in enumerate(books):
+        qsub = list(qvec)[s * d_sub:(s + 1) * d_sub]
+        sims = [pycos(qsub, c) for c in book]
+        sims_arr = F.array(*[F.lit(float(x)) for x in sims])
+        score = score + F.element_at(
+            sims_arr, (F.col(f"code_{s}") + 1).cast("int"))
+    short = (index
+             .filter(F.col("centroid").isin(list(cells)))
+             .filter(F.col(id_col) != query_vec_id)
+             .select(F.col(id_col), F.round(score, 6).alias("adc_score"))
+             .orderBy(F.desc("adc_score"), id_col).limit(shortlist)
+             .select(id_col))
+    qarr = F.array(*[F.lit(float(x)) for x in qvec])
+    v = F.col(vec_col)
+    cosine = F.round(_dot(v, qarr) / (_norm(v) * _norm(qarr)), 6)
+    return (embeddings.join(F.broadcast(short), id_col)
+            .select(F.col(id_col), cosine.alias("cosine"))
+            .orderBy(F.desc("cosine"), id_col).limit(k))
+
+
 def ann_topk_lsh_indexed(embeddings, buckets, query_vec_id=0, k=10,
                          id_col="vec_id", vec_col="embedding"):
     """ANN over a PERSISTED SRP bucket table (from ``srp_lsh_buckets``,

@@ -681,6 +681,37 @@ def q_sim_ann_pq_indexed(spark, sf_dir):
     return ann_topk_pq_indexed(codes, books, qvec, query_vec_id=0, k=10)
 
 
+def q_sim_ann_ivfpq_indexed(spark, sf_dir):
+    """The IVF-PQ COMPOSITE index — the actual 100 TB ANN shape: one
+    persisted table carries each vector's coarse IVF cell AND its PQ
+    codes (ivfpq_index → parquet PARTITIONED BY centroid, cached per
+    process). The probe plan reads ONLY the probed cells' partitions
+    (partition-pruning predicate) and ONLY integer code columns (the
+    embeddings column is absent from the ADC scan — both
+    plan-asserted in tests/test_plans.py), ADC-scores them, and
+    exact-re-ranks the 100-row shortlist. Coarse = first-4 seed
+    centroids (n_probe=2), PQ = trained m=4/k=4 codebooks — the same
+    pieces the standalone oracles already replay, composed. Recall@10
+    on the test corpus: 10/10 vs the full-corpus rerank baseline's
+    9/10 (pytest-gated in tests/test_ann_recall.py)."""
+    from .ops.similarity import (ann_topk_ivfpq_indexed, ivfpq_index,
+                                 ivfpq_probe_cells, pq_train)
+
+    emb = embeddings(spark, sf_dir)
+    books, _ = pq_train(emb, m=4, n_centroids=4, n_iter=2)
+    cents = [list(r[0]) for r in emb.orderBy("vec_id")
+             .select("embedding").limit(4).collect()]
+    path = _index_path(
+        spark, "ivfpq", sf_dir,
+        lambda p: ivfpq_index(emb, cents, books).write
+        .mode("overwrite").partitionBy("centroid").parquet(p))
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    cells = ivfpq_probe_cells(emb, cents, query_vec_id=0, n_probe=2)
+    idx = spark.read.parquet(path)
+    return ann_topk_ivfpq_indexed(idx, books, qvec, cells, emb,
+                                  query_vec_id=0, k=10, shortlist=100)
+
+
 def q_sim_ann_lsh_indexed(spark, sf_dir):
     """Production-shape SRP-LSH probe: the bucket table is built once
     (srp_lsh_buckets → parquet, cached per process) and the query plan
@@ -1995,6 +2026,40 @@ def _pq_rerank_oracle(slices, k_cent=4, n_iter=2, shortlist=100, topk=10):
 ORACLES_OPS["sim_ann_pq_rerank"] = _pq_rerank_oracle(_PQ4_SLICES)
 
 
+def _ivfpq_oracle(slices, n_centroids=4, n_probe=2, k_cent=4, n_iter=2,
+                  shortlist=100, topk=10):
+    """IVF-PQ composite probe, composed from the already-gated pieces:
+    seed-centroid coarse assignment (_ivf_cte) + top-n_probe cell
+    selection (_ivf_cells_sql) + per-subspace k-means replay + ADC
+    (_pq_ctes/_pq_adc_select) restricted to the probed cells + exact
+    re-rank of the shortlist."""
+    cents = ",\n        ".join(
+        f"c{c} AS (SELECT embedding AS v FROM embeddings "
+        f"WHERE vec_id = {c})" for c in range(n_centroids))
+    froms, score = _pq_adc_select(slices, k_cent)
+    return f"""
+        WITH {cents},
+        {_ivf_cte(n_centroids)},
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        {_ivf_cells_sql(n_centroids, n_probe)},
+        {_pq_ctes(slices, k_cent, n_iter)},
+        short AS (
+          SELECT e.vec_id, round({score}, 6) AS adc_score
+          FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id,
+               {', '.join(froms)}
+          WHERE a.centroid IN (SELECT centroid FROM cells)
+            AND e.vec_id != 0
+          ORDER BY adc_score DESC, e.vec_id LIMIT {shortlist})
+        SELECT e.vec_id,
+               {_cosine_sql('e.embedding', 'qq.qv')} AS cosine
+        FROM embeddings e JOIN short USING (vec_id),
+             (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) qq
+        ORDER BY cosine DESC, e.vec_id LIMIT {topk}"""
+
+
+ORACLES_OPS["sim_ann_ivfpq_indexed"] = _ivfpq_oracle(_PQ4_SLICES)
+
+
 # curation keep-list: compose the quality, langid and components
 # oracles (derived tables; the components one carries its own WITH
 # RECURSIVE) — keep = quality gate AND language gate AND (no dup class
@@ -2408,7 +2473,7 @@ def all_queries():
         "sim_topk": q_sim_topk,
         "sim_ivf_assign": q_sim_ivf_assign,
         "sim_ann_lsh_multi": q_sim_ann_lsh_multi,
-        "sim_ann_ivf_probed": q_sim_ann_ivf_probed,
+        "sim_ann_ivfpq_indexed": q_sim_ann_ivfpq_indexed,
         "sim_ivf_train": q_sim_ivf_train,
         "sim_ann_ivf_trained": q_sim_ann_ivf_trained,
         "sim_pq_train": q_sim_pq_train,
@@ -2450,6 +2515,7 @@ def extra_queries():
         "sim_lsh_buckets": q_sim_lsh_buckets,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_lsh_probed": q_sim_ann_lsh_probed,
+        "sim_ann_ivf_probed": q_sim_ann_ivf_probed,
         "sim_ann_ivf": q_sim_ann_ivf,
         "dedup_substring": q_dedup_substring,
         "txt_pii": q_txt_pii,

@@ -195,3 +195,29 @@ def test_pq_codes_single_projection_plan(spark, emb):
         .executedPlan().toString()
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivfpq_indexed_recall_meets_rerank_baseline(spark, emb):
+    """The composite IVF-PQ probe (round-6): recall@10 must be >= the
+    full-corpus PQ-rerank baseline at the same codebooks — the cell
+    restriction prunes the scan, it must not cost recall on this
+    corpus (measured: baseline 9/10 at sf0.01, ivfpq 10/10 with
+    n_probe=2; at sf0.001 pinned below)."""
+    from goskyr_spark.ops.similarity import (ann_topk_ivfpq_indexed,
+                                             ann_topk_pq_rerank,
+                                             cosine_topk, ivfpq_index,
+                                             ivfpq_probe_cells, pq_train)
+
+    exact = _ids(cosine_topk(emb, 0, 10))
+    books, _ = pq_train(emb, m=4, n_centroids=4, n_iter=2)
+    cents = [list(r[0]) for r in emb.orderBy("vec_id")
+             .select("embedding").limit(4).collect()]
+    qvec = emb.filter("vec_id = 0").select("embedding").first()[0]
+    baseline = len(_ids(ann_topk_pq_rerank(emb, books, 0, 10, 100))
+                   & exact)
+    idx = ivfpq_index(emb, cents, books)
+    cells = ivfpq_probe_cells(emb, cents, 0, n_probe=2)
+    got = len(_ids(ann_topk_ivfpq_indexed(idx, books, qvec, cells, emb,
+                                          0, 10, 100)) & exact)
+    assert got >= baseline, (got, baseline)
+    assert got >= 7

@@ -214,3 +214,38 @@ def test_pq_indexed_scans_codes_not_embeddings(spark, tmp_path):
     assert "code_0" in read_schema and "code_1" in read_schema
     baseline = ann_topk_pq(emb, books, query_vec_id=0, k=10).collect()
     assert df.collect() == baseline
+
+
+def test_ivfpq_indexed_prunes_cells_and_never_scans_embeddings(
+        spark, tmp_path):
+    """The composite IVF-PQ probe (round-6 top ask): the ADC stage
+    must read ONLY the probed cells' partitions (PartitionFilters on
+    centroid) and ONLY integer code columns — the embeddings column
+    appears in the plan solely via the shortlist re-rank join, never
+    in the index scan's ReadSchema."""
+    from goskyr_spark.ops.similarity import (ann_topk_ivfpq_indexed,
+                                             ivfpq_index,
+                                             ivfpq_probe_cells, pq_train)
+    from goskyr_spark.queries import embeddings
+
+    emb = embeddings(spark, SF_DIR)
+    books, _ = pq_train(emb, m=2, n_centroids=4, n_iter=2)
+    cents = [list(r[0]) for r in emb.orderBy("vec_id")
+             .select("embedding").limit(4).collect()]
+    path = str(tmp_path / "ivfpq.parquet")
+    ivfpq_index(emb, cents, books).write \
+        .partitionBy("centroid").parquet(path)
+    idx = spark.read.parquet(path)
+    qvec = emb.filter("vec_id = 0").select("embedding").first()[0]
+    cells = ivfpq_probe_cells(emb, cents, 0, n_probe=2)
+    df = ann_topk_ivfpq_indexed(idx, books, qvec, cells, emb,
+                                query_vec_id=0, k=10, shortlist=100)
+    plan = _plan(df)
+    assert "ivfpq.parquet" in plan
+    # the index scan: partition-pruned on centroid, codes-only schema
+    scan_at = plan.index("ivfpq.parquet")
+    scan = plan[plan.rindex("Scan parquet", 0, scan_at):]
+    pf = scan[scan.index("PartitionFilters"):].splitlines()[0]
+    assert "centroid" in pf and ("IN" in pf or "in(" in pf.lower()), pf
+    rs = scan[scan.index("ReadSchema"):].splitlines()[0]
+    assert "code_0" in rs and "embedding" not in rs, rs
