@@ -369,6 +369,41 @@ def bench_bpe_vocab(spark):
             "n_merges": len(merges)}
 
 
+def bench_bpe_32k(spark):
+    """PRODUCTION-vocab BPE at real width (round-6): train >=32k merges
+    from a char-diverse deterministic corpus (synth.charrich_docs_df —
+    the sf corpus's ~40-word vocabulary saturates at 126 merges, so the
+    32k demonstration needs its own corpus; generated map-only, no
+    driver materialization), then the distributed mapInPandas encode
+    under that vocabulary. The trainer is the lazy-heap incremental
+    Sennrich loop (ops/bpe.py) — the histogram pass is the only
+    corpus-sized work. cache_hit_rate is measured driver-side over a
+    corpus sample (the same Zipf the executor-side per-task caches
+    see); parity at this vocab is pytest-gated
+    (tests/test_bpe_vocab.py::test_encoder_parity_at_32k_merges)."""
+    import time as _t
+
+    from goskyr_spark.ops.bpe import (BPEEncoder, bpe_token_count_vocab,
+                                      pretokenize, train_bpe_df)
+    from goskyr_spark.synth import charrich_docs_df
+
+    docs = charrich_docs_df(spark, n_docs=20_000, words_per_doc=60)
+    t0 = _t.perf_counter()
+    merges = train_bpe_df(docs, 32_768)
+    train_wall = _t.perf_counter() - t0
+    encode_wall = _best_of(
+        lambda: bpe_token_count_vocab(docs, merges).count())
+    enc = BPEEncoder(merges)
+    for r in docs.filter("doc_id % 40 = 0").collect():
+        enc.count(r["text"])
+    hit_rate = enc.hits / max(1, enc.hits + enc.misses)
+    return {"train_wall": round(train_wall, 3),
+            "encode_wall": round(encode_wall, 3),
+            "n_merges": len(merges),
+            "n_docs": 20_000,
+            "cache_hit_rate": round(hit_rate, 4)}
+
+
 def main():
     # --- headline crawl: each Spark core drives one JVM task thread AND
     # one Python kernel worker, so the non-oversubscribed width on this
@@ -403,6 +438,7 @@ def main():
     extract_big = bench_extract(spark, CPUS)
     per_query = bench_queries(spark)
     bpe_vocab = bench_bpe_vocab(spark)
+    bpe_32k = bench_bpe_32k(spark)
     # live-socket crawl (real GETs + robots + wall-clock politeness)
     crawl_live = bench_live_crawl(spark, CPUS)
     spark.stop()
@@ -449,6 +485,8 @@ def main():
     per_query["extract_pipeline"] = round(extract_big["wall"], 3)
     per_query["txt_bpe_vocab_train"] = bpe_vocab["train_wall"]
     per_query["txt_bpe_vocab"] = bpe_vocab["encode_wall"]
+    per_query["txt_bpe_32k_train"] = bpe_32k["train_wall"]
+    per_query["txt_bpe_32k"] = bpe_32k["encode_wall"]
     out = {
         "metric": "crawl_urls_per_sec",
         "value": round(crawl_big["urls_per_sec"], 2),
@@ -469,6 +507,7 @@ def main():
                        for k, v in crawl_live.items()},
         "extract_rows_per_sec": round(extract_big["rows_per_sec"], 2),
         "bpe_vocab": bpe_vocab,
+        "bpe_32k": bpe_32k,
         "scaling": scaling,
     }
     # full results on disk (round-over-round record, no size limit)...

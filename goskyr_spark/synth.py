@@ -308,3 +308,33 @@ def mixed_yield_factory(host, junk_hosts=frozenset()):
     functools.partial so executors unpickle it by module reference."""
     return (no_match_scraper(host) if host in junk_hosts
             else event_scraper(host))
+
+
+def charrich_docs_df(spark, n_docs=20_000, words_per_doc=60,
+                     pool=120_000):
+    """Deterministic char-diverse corpus for PRODUCTION-vocab BPE
+    demonstrations (round-6): the sf documents tables have a ~40-word
+    vocabulary, so their BPE training saturates near 126 merges; a
+    32k+ merge table needs a corpus whose pretoken vocabulary is
+    itself ~100k+. Word j of doc d is the 5-9-char hex prefix of
+    md5(word_id), word_id = crc32(d_j) mod pool — fully deterministic
+    and generated as pure column expressions over spark.range (map-only,
+    no shuffle, no driver-side corpus); ~119k distinct words at the
+    default pool."""
+    from pyspark.sql import functions as F
+
+    d = F.col("id")
+
+    def word(j):
+        wid = F.pmod(
+            F.crc32(F.concat(d.cast("string"), F.lit("_"),
+                             j.cast("string")).cast("binary")),
+            F.lit(pool))
+        h = F.md5(wid.cast("string").cast("binary"))
+        return h.substr(F.lit(1),
+                        (F.lit(5) + F.pmod(wid, F.lit(5))).cast("int"))
+
+    text = F.concat_ws(" ", F.transform(
+        F.sequence(F.lit(0), F.lit(words_per_doc - 1)), word))
+    return spark.range(n_docs).select(d.alias("doc_id"),
+                                      text.alias("text"))

@@ -159,3 +159,107 @@ def test_train_bpe_df_matches_local(spark):
             for r in pretoken_counts(df).collect()}
     assert hist == counts
     assert train_bpe_df(df, 200) == train_bpe(counts, 200)
+
+
+def test_pretokenize_whitespace_only_strips_spaces():
+    """ADVICE round-5: pretokenize strips ONLY ASCII spaces (parity
+    with the column path's F.trim); tab/newline padding is kept and
+    pretokenized as whitespace tokens on BOTH paths."""
+    assert pretokenize("\nHello world\n") == \
+        pretokenize(" \nHello world\n ")
+    assert "\n" in pretokenize("\nabc")[0]
+
+
+def test_trainer_heap_matches_full_scan():
+    """Round-6: the lazy-heap best-pair selection must reproduce the
+    round-5 full-scan min() merge sequence EXACTLY (the heap key is
+    the scan's tie-break key). Reference implementation inlined."""
+
+    def train_full_scan(word_counts, n_merges):
+        words = [(tuple(w), c) for w, c in sorted(word_counts.items())]
+        pair_counts = {}
+        pair_words = {}
+        for i, (syms, c) in enumerate(words):
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+                pair_words.setdefault((a, b), set()).add(i)
+        merges = []
+        for _ in range(n_merges):
+            if not pair_counts:
+                break
+            best = min(pair_counts.items(),
+                       key=lambda kv: (-kv[1], kv[0]))
+            (a, b), cnt = best
+            if cnt <= 0:
+                break
+            merges.append((a, b))
+            ab = a + b
+            for i in list(pair_words.get((a, b), ())):
+                syms, c = words[i]
+                for p in zip(syms, syms[1:]):
+                    pair_counts[p] -= c
+                    if pair_counts[p] <= 0:
+                        pair_counts.pop(p, None)
+                    ws = pair_words.get(p)
+                    if ws is not None:
+                        ws.discard(i)
+                        if not ws:
+                            pair_words.pop(p, None)
+                out = []
+                j = 0
+                while j < len(syms):
+                    if (j < len(syms) - 1 and syms[j] == a
+                            and syms[j + 1] == b):
+                        out.append(ab)
+                        j += 2
+                    else:
+                        out.append(syms[j])
+                        j += 1
+                syms = tuple(out)
+                words[i] = (syms, c)
+                for p in zip(syms, syms[1:]):
+                    pair_counts[p] = pair_counts.get(p, 0) + c
+                    pair_words.setdefault(p, set()).add(i)
+        return merges
+
+    counts = {}
+    for d in _corpus(n_docs=120, seed=3):
+        for t in pretokenize(d):
+            counts[t] = counts.get(t, 0) + 1
+    want = train_full_scan(dict(counts), 800)
+    got = train_bpe(dict(counts), 800)
+    assert got == want
+    assert len(got) == 800
+
+
+@pytest.fixture(scope="module")
+def merges_32k(spark):
+    from goskyr_spark.synth import charrich_docs_df
+
+    docs = charrich_docs_df(spark, n_docs=8000, words_per_doc=60)
+    m = train_bpe_df(docs, 34_000)
+    assert len(m) >= 32_768, f"char-rich corpus too small: {len(m)}"
+    return m
+
+
+def test_encoder_parity_at_32k_merges(spark, merges_32k):
+    """Round-6 done-gate: encoder parity vs the independent naive
+    encode_pretoken_slow at a >=32k-merge PRODUCTION vocabulary, on a
+    sample of real corpus pretokens."""
+    from goskyr_spark.synth import charrich_docs_df
+
+    enc = BPEEncoder(merges_32k)
+    ranks = enc.ranks
+    sample_docs = [r["text"] for r in
+                   charrich_docs_df(spark, n_docs=8000, words_per_doc=60)
+                   .filter("doc_id % 97 = 0").collect()]
+    assert sample_docs
+    n_toks = 0
+    for d in sample_docs:
+        for tok in pretokenize(d):
+            assert enc.encode_pretoken(tok) == \
+                tuple(encode_pretoken_slow(tok, ranks))
+            n_toks += 1
+    assert n_toks > 2000
+    # cache telemetry is live
+    assert enc.hits + enc.misses == n_toks and enc.misses > 0
