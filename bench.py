@@ -223,7 +223,7 @@ scrapers:
 """
 
 
-def bench_live_crawl(spark, cores):
+def bench_live_crawl(spark, cores, crawl_delay=0.02):
     """Real-socket crawl throughput: the live fetch path (HTTP GETs,
     robots.txt per host, wall-clock crawl-delay sleeps) against a local
     multi-host site. Distinct hosts are distinct 127.0.0.0/8 loopback
@@ -231,9 +231,13 @@ def bench_live_crawl(spark, cores):
     url_host() keys politeness by hostname, so each address is an
     independent politeness domain, exactly like distinct servers.
 
-    Politeness is ON (Crawl-delay: 0.02); the reported urls/sec is
-    therefore a floor — it includes mandatory sleeps, robots fetches,
-    and extraction, i.e. the number a production operator would see."""
+    With the default Crawl-delay 0.02 the reported urls/sec is a
+    politeness-bound floor — it includes mandatory sleeps, robots
+    fetches, and extraction, i.e. the number a production operator
+    would see. With crawl_delay=0 the sleeps vanish and the connection
+    path itself is the floor — the row that shows the keep-alive
+    (requests.Session) gain: each host's chain rides ONE TCP
+    connection instead of a handshake per URL."""
     import threading
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -243,13 +247,14 @@ def bench_live_crawl(spark, cores):
 
     n_hosts = max(16, int(250 * SF / 0.1))
     pages_per_host = 6
+    robots = f"User-agent: *\nCrawl-delay: {crawl_delay:g}\n".encode()
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
         def do_GET(self):
             if self.path == "/robots.txt":
-                body = b"User-agent: *\nCrawl-delay: 0.02\n"
+                body = robots
             elif self.path.startswith("/list/"):
                 p = int(self.path.rsplit("/", 1)[1])
                 items = "".join(
@@ -439,8 +444,11 @@ def main():
     per_query = bench_queries(spark)
     bpe_vocab = bench_bpe_vocab(spark)
     bpe_32k = bench_bpe_32k(spark)
-    # live-socket crawl (real GETs + robots + wall-clock politeness)
+    # live-socket crawl (real GETs + robots + wall-clock politeness),
+    # plus the zero-delay variant where the connection path is the
+    # floor — the keep-alive (one Session per fetcher) evidence row
     crawl_live = bench_live_crawl(spark, CPUS)
+    crawl_live0 = bench_live_crawl(spark, CPUS, crawl_delay=0)
     spark.stop()
 
     scaling = None
@@ -482,6 +490,7 @@ def main():
     per_query["crawl_bucketed"] = round(crawl_bucketed["wall"], 3)
     per_query["crawl_adaptive"] = round(crawl_adaptive["wall"], 3)
     per_query["crawl_live"] = round(crawl_live["wall"], 3)
+    per_query["crawl_live_keepalive"] = round(crawl_live0["wall"], 3)
     per_query["extract_pipeline"] = round(extract_big["wall"], 3)
     per_query["txt_bpe_vocab_train"] = bpe_vocab["train_wall"]
     per_query["txt_bpe_vocab"] = bpe_vocab["encode_wall"]
@@ -505,6 +514,9 @@ def main():
             for k, v in crawl_adaptive.items()},
         "crawl_live": {k: round(v, 3) if isinstance(v, float) else v
                        for k, v in crawl_live.items()},
+        "crawl_live_keepalive": {
+            k: round(v, 3) if isinstance(v, float) else v
+            for k, v in crawl_live0.items()},
         "extract_rows_per_sec": round(extract_big["rows_per_sec"], 2),
         "bpe_vocab": bpe_vocab,
         "bpe_32k": bpe_32k,
