@@ -507,11 +507,20 @@ def extract_raw_field(field, item, selection):
 
 # --- guessYear (scraper.go:448-498) --------------------------------------------
 
-def guess_year(fields, items, ref_now):
+def guess_year(fields, items, ref_now, start_refs=None):
     """Order-dependent year fixup: item i's reference is item i-1's date
     (item 0: ref_now). Non-commutative prefix scan — in Spark this runs
-    per-scraper inside one applyInPandas group sorted by the crawl
-    ordering key."""
+    per-scraper over the crawl-ordered item stream.
+
+    ``start_refs`` ({field: previous item's fixed date | None}) makes
+    the scan RESUMABLE mid-stream: a continuation chunk passes the
+    preceding chunk's last item values, so chunked processing with
+    carried state is bit-identical to one monolithic pass (the Spark
+    side streams Arrow batches through mapInPandas with exactly this
+    carry — finalize_items_df). None default = reference behavior
+    (item 0 references ref_now); a key PRESENT with value None means
+    'previous item lacked this field', which references the year-1
+    sentinel exactly like the in-stream case."""
     from datetime import datetime as _dt, timedelta
 
     guess_fields = {f.name for f in fields if f.type == "date" and f.guess_year}
@@ -524,6 +533,10 @@ def guess_year(fields, items, ref_now):
                 t = item[name]
                 if i > 0:
                     prev = items[i - 1].get(name)
+                    ref = prev if isinstance(prev, _dt) else _dt(1, 1, 1,
+                                                                 tzinfo=t.tzinfo)
+                elif start_refs is not None and name in start_refs:
+                    prev = start_refs.get(name)
                     ref = prev if isinstance(prev, _dt) else _dt(1, 1, 1,
                                                                  tzinfo=t.tzinfo)
                 from .golayout import go_date

@@ -401,3 +401,69 @@ def test_decontaminate_cut_randomized_vs_python_oracle(spark):
                          r["contaminated"]) for r in out}
     assert got == want
     assert sum(v[3] for v in want.values()) > 0  # cut path exercised
+
+
+# --- guessYear: streaming carried-state equals monolithic pass -------------
+
+def test_guess_year_stream_carry_matches_monolithic(spark):
+    """finalize_items_df now streams Arrow batches with the previous
+    batch's last item carried (bounded task memory); forcing 3-row
+    batches must be bit-identical to one driver-side guess_year pass
+    over the full sorted item list — including rows where the guess
+    field is NULL (the year-1 sentinel carry)."""
+    from datetime import datetime, timezone
+
+    from goskyr_spark.config import Field, Scraper
+    from goskyr_spark.kernels.extract import guess_year
+    from goskyr_spark.spark.pipeline import finalize_items_df
+
+    now = datetime(2026, 3, 1, tzinfo=timezone.utc)
+    scraper = Scraper(name="g", url="https://x/", item="div",
+                      fields=[Field(name="d", type="date",
+                                    guess_year=True)])
+    # months that wrap backwards repeatedly -> multiple year bumps;
+    # a few NULLs exercise the sentinel branch across batch edges
+    # parsed years are arbitrary (guess_year rebuilds the year around
+    # the reference chain); keep inputs in pandas-ns range
+    months = [11, 12, 1, 2, 12, 1, 3, 2, 1, 12, 1, 2, 11, 12]
+    rows = []
+    for i, m in enumerate(months):
+        d = datetime(2020, m, 15, 12, 0, tzinfo=timezone.utc)
+        rows.append((f"https://x/p{i // 3}", i % 3, d, 0))
+    df = spark.createDataFrame(
+        rows, "page_url string, item_idx long, d timestamp,"
+              " nr_errors long")
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                         None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        got = [(r["page_url"], r["item_idx"],
+                r["d"].isoformat() if r["d"] else None)
+               for r in finalize_items_df(df, scraper, now=now).collect()]
+    finally:
+        if old is not None:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    # driver-side reference: ONE monolithic guess_year pass
+    srt = sorted(rows)
+    items = [{"d": d} for _, _, d, _ in srt]
+    guess_year([Field(name="d", type="date", guess_year=True)],
+               items, now)
+    want = [(u, i, it["d"].astimezone(timezone.utc).isoformat())
+            for (u, i, _, _), it in zip(srt, items)]
+    # collect() returns naive local datetimes; normalize both to UTC
+    got_utc = [(u, i, d.astimezone(timezone.utc).isoformat()
+                if d.tzinfo else
+                d.replace(tzinfo=timezone.utc).isoformat())
+               for u, i, d in
+               [(u, i, __import__("datetime").datetime.fromisoformat(d))
+                for u, i, d in got]]
+    assert [g[2][5:] for g in got_utc] == [w[2][5:] for w in want]
+    assert [g[:2] for g in got_utc] == [w[:2] for w in want]
+    # year bumps actually happened (the chain did something) and the
+    # full dates (incl. year) agree between stream and monolithic
+    assert [g[2] for g in got_utc] == [w[2] for w in want]
+    years = {d[:4] for _, _, d in want}
+    assert len(years) >= 2, want
