@@ -249,3 +249,18 @@ def test_ivfpq_indexed_prunes_cells_and_never_scans_embeddings(
     assert "centroid" in pf and ("IN" in pf or "in(" in pf.lower()), pf
     rs = scan[scan.index("ReadSchema"):].splitlines()[0]
     assert "code_0" in rs and "embedding" not in rs, rs
+
+
+def test_substring_cut_text_joins_broadcast_no_cartesian(spark):
+    """Exact-substring removal: the marked-starts array (minority side)
+    must reach the documents scan via a broadcast join chosen by AQE —
+    no cartesian products, no sort-merge shuffle of corpus text."""
+    from goskyr_spark.ops.dedup import substring_dedup_cut
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = substring_dedup_cut(docs, k=8)
+    df.collect()
+    plan = _plan(df)
+    runtime = plan.split("Initial Plan")[0]
+    assert "CartesianProduct" not in runtime
+    assert "BroadcastHashJoin" in runtime, runtime
