@@ -36,14 +36,20 @@ _CHILD = r"""
 import json, sys, time
 sys.path.insert(0, %(root)r)
 from goskyr_spark.spark.session import get_spark
-from goskyr_spark.ops.dedup import minhash_lsh_buckets_capped
+from goskyr_spark.ops.dedup import (minhash_lsh_buckets_capped,
+                                    substring_dedup_cut)
 
 cores = int(sys.argv[1])
+job = sys.argv[2] if len(sys.argv) > 2 else "minhash"
 spark = get_spark(app=f"scale-{cores}", master=f"local[{cores}]",
                   shuffle_partitions=max(8, cores * 2))
 docs = spark.read.parquet(%(corpus)r)
 n = docs.count()
 def run():
+    if job == "substring_cut":
+        # round-6 op: in-row window hashes -> (hash, doc, start)
+        # shuffle -> min-struct canon agg -> text-bearing reassembly
+        return substring_dedup_cut(docs, k=8).count()
     return minhash_lsh_buckets_capped(docs, max_bucket=64).count()
 run()  # warm-up: JIT + page cache
 best = None
@@ -91,27 +97,31 @@ def synth_corpus():
     spark.stop()
 
 
-def run_width(cores):
+def run_width(cores, job="minhash"):
     script = _CHILD % {
         "root": os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "corpus": CORPUS}
-    out = subprocess.run([sys.executable, "-c", script, str(cores)],
+    out = subprocess.run([sys.executable, "-c", script, str(cores), job],
                          capture_output=True, text=True, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def main():
     synth_corpus()
-    # big width first so the small run can't look good via page cache
-    big = run_width(BIG)
-    small = run_width(SMALL)
-    eff = (big["docs_per_sec"] / small["docs_per_sec"]) / (BIG / SMALL)
-    print(json.dumps({
-        "job": "minhash_lsh_capped over synthetic near-dup corpus",
-        "n_docs": N_DOCS,
-        "small": small, "big": big,
-        "efficiency": round(eff, 3),
-    }))
+    for job, label in (("minhash",
+                        "minhash_lsh_capped over synthetic near-dup corpus"),
+                       ("substring_cut",
+                        "substring_dedup_cut (round-6) over the same corpus")):
+        # big width first so the small run can't look good via page cache
+        big = run_width(BIG, job)
+        small = run_width(SMALL, job)
+        eff = (big["docs_per_sec"] / small["docs_per_sec"]) / (BIG / SMALL)
+        print(json.dumps({
+            "job": label,
+            "n_docs": N_DOCS,
+            "small": small, "big": big,
+            "efficiency": round(eff, 3),
+        }))
 
 
 if __name__ == "__main__":
