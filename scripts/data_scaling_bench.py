@@ -48,8 +48,13 @@ n = docs.count()
 def run():
     if job == "substring_cut":
         # round-6 op: in-row window hashes -> (hash, doc, start)
-        # shuffle -> min-struct canon agg -> text-bearing reassembly
-        return substring_dedup_cut(docs, k=8).count()
+        # shuffle -> min-struct canon agg -> text-bearing reassembly.
+        # Aggregate over text_cut so Catalyst can't eliminate the
+        # outer join (a bare count() of unique-keyed left join prunes
+        # the whole pipeline away).
+        from pyspark.sql import functions as F
+        return substring_dedup_cut(docs, k=8).agg(
+            F.sum(F.length("text_cut")), F.sum("n_removed")).collect()
     return minhash_lsh_buckets_capped(docs, max_bucket=64).count()
 run()  # warm-up: JIT + page cache
 best = None
