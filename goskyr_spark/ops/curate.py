@@ -51,8 +51,8 @@ def contamination_flags(documents, benchmark, shingle_n=3, min_overlap=2,
             .orderBy(id_col))
 
 
-def decontaminate_cut(documents, benchmark, n=13, text_col="text",
-                      id_col="doc_id"):
+def decontaminate_cut(documents, benchmark=None, n=13, text_col="text",
+                      id_col="doc_id", benchmark_grams=None):
     """Benchmark decontamination with SPAN REMOVAL at the industry-
     standard window width: every ``n``-token (default 13 — the
     GPT-3/PaLM-style 13-gram rule) window of a corpus doc that appears
@@ -67,12 +67,26 @@ def decontaminate_cut(documents, benchmark, n=13, text_col="text",
     text moves through a single join and the token cutting runs
     in-row. Tokenization matches contamination_flags (trim + split, no
     lowercasing). Output one row per corpus doc: (doc_id, text_cut,
-    n_kept, n_removed, contaminated)."""
+    n_kept, n_removed, contaminated).
+
+    ``benchmark_grams`` takes a PRECOMPUTED distinct window-hash table
+    (one `_g` column) instead of benchmark documents — the incremental
+    form: a rolling corpus persists
+    ``window_occurrences(corpus, k, ...).select("_g").distinct()``
+    once (the substring analog of minhash_index; bucketed by `_g` at
+    scale) and every ingest batch is cut against it WITHOUT re-reading
+    corpus text — every corpus occurrence is "first" by definition, so
+    batch-side matches always cut. Equivalence to the monolithic
+    first-occurrence pass is pinned in
+    tests/test_round6_fixes.py::test_substring_cut_incremental."""
     from .dedup import _words, cut_marked_windows, window_occurrences
 
     w = _words(F.col(text_col))
-    bset = (window_occurrences(benchmark, n, w, id_col)
-            .select("_g").distinct())
+    if benchmark_grams is not None:
+        bset = benchmark_grams.select("_g").distinct()
+    else:
+        bset = (window_occurrences(benchmark, n, w, id_col)
+                .select("_g").distinct())
     occ = window_occurrences(documents, n, w, id_col)
     marked = (occ.join(F.broadcast(bset), "_g")
               .select(id_col, "start"))

@@ -467,3 +467,39 @@ def test_guess_year_stream_carry_matches_monolithic(spark):
     assert [g[2] for g in got_utc] == [w[2] for w in want]
     years = {d[:4] for _, _, d in want}
     assert len(years) >= 2, want
+
+
+def test_substring_cut_incremental(spark):
+    """Incremental substring cut: a persisted corpus window-hash index
+    (the substring analog of minhash_index — same trim+split tokens as
+    decontaminate_cut, built once) cuts a new ingest batch WITHOUT
+    re-reading corpus text, and is row-identical to cutting against
+    the corpus documents directly."""
+    from pyspark.sql import functions as F
+
+    from goskyr_spark.ops.curate import decontaminate_cut
+    from goskyr_spark.ops.dedup import _words, window_occurrences
+
+    k = 5
+    span = "c1 c2 c3 c4 c5 c6"
+    corpus = spark.createDataFrame(
+        [(100, f"corpus text with {span} inside"),
+         (101, "other corpus words entirely here")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(0, f"fresh doc copying {span} verbatim"),
+         (1, "fresh doc with no overlap at all")],
+        "doc_id long, text string")
+
+    # build-once index: distinct window hashes of the corpus
+    index = window_occurrences(corpus, k, _words(F.col("text"))) \
+        .select("_g").distinct()
+
+    via_index = decontaminate_cut(batch, benchmark_grams=index,
+                                  n=k).collect()
+    via_docs = decontaminate_cut(batch, corpus, n=k).collect()
+    assert via_index == via_docs
+    out = {r["doc_id"]: r for r in via_index}
+    assert out[0]["n_removed"] == 6 and out[0]["contaminated"] == 1
+    assert out[0]["text_cut"] == "fresh doc copying verbatim"
+    assert out[1]["n_removed"] == 0
