@@ -325,7 +325,8 @@ def bench_queries(spark):
              "dedup_simhash", "dedup_simhash64", "dedup_embed",
              "dedup_embed_capped",
              "txt_tokens", "txt_quality", "txt_langid", "txt_fingerprint",
-             "txt_bpe", "txt_bpe_real", "sim_topk", "sim_ann_lsh",
+             "txt_bpe", "txt_bpe_real", "sim_topk", "sim_topk_batch",
+             "sim_ann_lsh",
              "sim_ann_lsh_multi", "sim_ann_lsh_probed",
              "sim_ann_ivf", "sim_ann_ivf_probed",
              "sim_ivf_train", "sim_ann_ivf_trained",

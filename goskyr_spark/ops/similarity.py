@@ -45,6 +45,65 @@ def cosine_topk(embeddings, query_vec_id=0, k=10, id_col="vec_id",
     return scored.orderBy(F.desc("cosine"), id_col).limit(k)
 
 
+def cosine_topk_batch(embeddings, query_ids, k=10, id_col="vec_id",
+                      vec_col="embedding"):
+    """BATCHED exact top-k: one corpus scan amortized over a whole
+    query batch — the shape a production retrieval/dedup pass actually
+    runs (Q queries against the corpus, not one).
+
+    Plan: the Q query vectors broadcast; scores are codegen'd in the
+    scan stage (corpus × Q fixed-width (query_id, vec_id, cosine)
+    rows, pipelined — never materialized); a mapInPandas stage keeps a
+    BOUNDED per-task candidate set (Q×k rows, trimmed per Arrow batch)
+    so each input partition emits at most Q×k rows; the global
+    per-query top-k then ranks only partitions×Q×k rows — a naive
+    Window over the full corpus×Q score set would shuffle 10^13 rows
+    at 10^10 vectors × Q=1000, this shuffles ~Q×k×partitions.
+
+    Determinism: scores are round-6 BEFORE ranking and ties break to
+    the lowest vec_id, so the result is engine-independent (DuckDB
+    oracle ranks the identical rounded doubles).
+
+    Output: (query_id, vec_id, cosine) — k rows per query, ordered."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    q = (embeddings.filter(F.col(id_col).isin(list(query_ids)))
+         .select(F.col(id_col).alias("query_id"),
+                 F.col(vec_col).alias("_q")))
+    scored = (embeddings.crossJoin(F.broadcast(q))
+              .filter(F.col(id_col) != F.col("query_id"))
+              .select(F.col("query_id"), F.col(id_col),
+                      F.round(_dot(F.col(vec_col), F.col("_q")) /
+                              (_norm(F.col(vec_col)) *
+                               _norm(F.col("_q"))), 6).alias("cosine")))
+
+    n_q = len(list(query_ids))
+
+    def partial_topk(batches):
+        # bounded state: at most Q×k candidate rows carried between
+        # Arrow batches; sort is (cosine desc, vec_id asc) — the same
+        # tie-break the final ranking uses
+        best = None
+        for pdf in batches:
+            cand = pdf if best is None else pd.concat((best, pdf))
+            best = (cand.sort_values(["query_id", "cosine", id_col],
+                                     ascending=[True, False, True])
+                    .groupby("query_id", sort=False).head(k))
+            if len(best) > n_q * k:  # defensive; head(k) already bounds
+                best = best.head(n_q * k)
+        if best is not None and len(best):
+            yield best
+
+    partial = scored.mapInPandas(
+        partial_topk, f"query_id long, {id_col} long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.col(id_col))
+    return (partial.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn")
+            .orderBy("query_id", F.desc("cosine"), id_col))
+
+
 def srp_lsh_buckets(embeddings, n_planes=4, id_col="vec_id",
                     vec_col="embedding"):
     """Sign-random-projection LSH: bucket = sign bits of dot products

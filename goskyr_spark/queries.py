@@ -487,6 +487,17 @@ def q_sim_topk(spark, sf_dir):
     return cosine_topk(embeddings(spark, sf_dir), query_vec_id=0, k=10)
 
 
+def q_sim_topk_batch(spark, sf_dir):
+    """Batched exact top-k (4 queries × k=5): one corpus scan amortized
+    over the query batch, bounded per-task Q×k candidate state, global
+    ranking over partitions×Q×k rows only (ops/similarity.py
+    cosine_topk_batch)."""
+    from .ops.similarity import cosine_topk_batch
+
+    return cosine_topk_batch(embeddings(spark, sf_dir),
+                             query_ids=[0, 1, 2, 3], k=5)
+
+
 def q_sim_lsh_buckets(spark, sf_dir):
     from .ops.similarity import srp_lsh_buckets
 
@@ -1657,6 +1668,21 @@ ORACLES_OPS["sim_ann_lsh"] = f"""
         WHERE be.bucket = qb.bucket AND e.vec_id != 0
         ORDER BY cosine DESC, e.vec_id LIMIT 10"""
 
+ORACLES_OPS["sim_topk_batch"] = f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+                 {_cosine_sql('e.embedding', 'q.qv')} AS cosine
+          FROM embeddings e, q
+          WHERE e.vec_id != q.query_id),
+        r AS (SELECT *, row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cosine DESC, vec_id) AS rn
+              FROM scored)
+        SELECT query_id, vec_id, cosine FROM r WHERE rn <= 5
+        ORDER BY query_id, cosine DESC, vec_id"""
+
 ORACLES_OPS["dedup_embed"] = f"""
         WITH {_bucket_cte()},
         cand AS (
@@ -2528,6 +2554,7 @@ def extra_queries():
         "txt_bpe": q_txt_bpe,
         "url_canonicalize": q_url_canonicalize,
         "sim_lsh_buckets": q_sim_lsh_buckets,
+        "sim_topk_batch": q_sim_topk_batch,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_lsh_probed": q_sim_ann_lsh_probed,
         "sim_ann_ivf_probed": q_sim_ann_ivf_probed,

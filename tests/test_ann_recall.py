@@ -221,3 +221,29 @@ def test_ivfpq_indexed_recall_meets_rerank_baseline(spark, emb):
                                           0, 10, 100)) & exact)
     assert got >= baseline, (got, baseline)
     assert got >= 7
+
+
+def test_batch_topk_matches_single_query_topk(spark, emb):
+    """cosine_topk_batch's bounded two-stage top-k must return exactly
+    the single-query cosine_topk rows for every query in the batch —
+    including when tiny Arrow batches force the per-task candidate
+    trim to run many times."""
+    from goskyr_spark.ops.similarity import cosine_topk, cosine_topk_batch
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                         None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        batch = cosine_topk_batch(emb, query_ids=[0, 3, 5], k=6).collect()
+    finally:
+        if old is not None:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["cosine"]))
+    for qid in (0, 3, 5):
+        single = [(r["vec_id"], r["cosine"])
+                  for r in cosine_topk(emb, qid, 6).collect()]
+        assert by_q[qid] == single, qid
