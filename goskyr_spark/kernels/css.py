@@ -306,17 +306,19 @@ def find(roots, selector):
     seen = None if len(roots) == 1 else set()
     if fast is not None:
         tag, classes = fast
+        # single-class selectors (the overwhelming case) use a plain
+        # `in` membership test; the per-root walk is the cached flat
+        # descendant list (dom.Node.desc_elements), so resolving several
+        # selectors under the same node walks the subtree once
+        cls1 = next(iter(classes)) if len(classes) == 1 else None
         for root in roots:
-            stack = list(reversed(root.children))
-            while stack:
-                n = stack.pop()
-                if n.children:
-                    stack.extend(reversed(n.children))
-                if n.type != ELEMENT:
-                    continue
+            for n in root.desc_elements():
                 if tag is not None and n.tag != tag:
                     continue
-                if classes and not classes <= n.class_set():
+                if cls1 is not None:
+                    if cls1 not in n.class_set():
+                        continue
+                elif classes and not classes <= n.class_set():
                     continue
                 if seen is not None:
                     if id(n) in seen:
@@ -326,7 +328,7 @@ def find(roots, selector):
         return out
     groups = _compile(selector)
     for root in roots:
-        for el in root.iter_elements():
+        for el in root.desc_elements():
             if any(_complex_matches(el, cx) for cx in groups):
                 if seen is not None:
                     if id(el) in seen:

@@ -54,7 +54,7 @@ class Node:
     """One DOM node. ``type`` is ELEMENT/TEXT/COMMENT/DOCUMENT."""
 
     __slots__ = ("type", "tag", "attrs", "data", "children", "parent",
-                 "_cset")
+                 "_cset", "_desc")
 
     def __init__(self, type_, tag="", attrs=None, data=""):
         self.type = type_
@@ -64,6 +64,7 @@ class Node:
         self.children = []
         self.parent = None
         self._cset = None
+        self._desc = None
 
     def class_set(self):
         """Cached frozenset of the class attribute (hot path for CSS)."""
@@ -93,6 +94,26 @@ class Node:
         for n in self.iter_descendants():
             if n.type == ELEMENT:
                 yield n
+
+    def desc_elements(self):
+        """Cached list of descendant ELEMENT nodes in document order.
+        The tree is immutable once parsed (builders only append during
+        construction), so selector engines can re-filter this flat list
+        instead of re-walking the subtree per selector — scrape_page
+        resolves ~4 selectors per item node, so the walk cost amortizes
+        4x on the extraction hot path."""
+        d = self._desc
+        if d is None:
+            d = []
+            stack = list(reversed(self.children))
+            while stack:
+                n = stack.pop()
+                if n.children:
+                    stack.extend(reversed(n.children))
+                if n.type == ELEMENT:
+                    d.append(n)
+            self._desc = d
+        return d
 
     def element_children(self):
         return [c for c in self.children if c.type == ELEMENT]

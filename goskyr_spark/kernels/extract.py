@@ -22,7 +22,13 @@ from .gocompat import (
     go_sprint,
     shorten_string,
 )
+from functools import lru_cache
+
 from .golayout import parse_in_location, load_location
+
+# tz resolution is config-driven (a handful of distinct names per run);
+# ZoneInfo construction is not free on the per-item hot path
+_load_location_cached = lru_cache(maxsize=64)(load_location)
 
 # --- jsonquery-ish lookup (scraper.go:1083-1101) -----------------------------
 
@@ -269,13 +275,25 @@ def get_text_string(loc, selection):
             val = first.attrs.get(loc.attr, "") if first.type == ELEMENT else ""
             field_strings.append(val)
 
-    field_strings = [extract_json_field(loc.json_selector, f)
-                     for f in field_strings]
-    field_strings = [extract_string_regex(loc.regex_extract, f)
-                     for f in field_strings]
-    field_strings = [f.strip() for f in field_strings]
-    field_strings = [shorten_string(f, loc.max_length) for f in field_strings]
-    final = (loc.separator or "").join(field_strings)
+    # post-processing passes gated on the config (extract_json_field /
+    # extract_string_regex / shorten_string are no-ops when unset — skip
+    # the list rebuilds on the hot path; ~50 calls/page in the kernel)
+    if loc.json_selector:
+        field_strings = [extract_json_field(loc.json_selector, f)
+                         for f in field_strings]
+    if loc.regex_extract.exp:
+        field_strings = [extract_string_regex(loc.regex_extract, f)
+                         for f in field_strings]
+    if len(field_strings) == 1:
+        final = field_strings[0].strip()
+        if loc.max_length:
+            final = shorten_string(final, loc.max_length)
+    else:
+        field_strings = [f.strip() for f in field_strings]
+        if loc.max_length:
+            field_strings = [shorten_string(f, loc.max_length)
+                             for f in field_strings]
+        final = (loc.separator or "").join(field_strings)
     if final == "" and loc.default != "":
         return loc.default
     return final
@@ -372,7 +390,7 @@ def get_date(field, selection, now=None):
 
     from ..config import CoveredDateParts
 
-    loc = load_location(field.date_location)
+    loc = _load_location_cached(field.date_location)
     m_locale = field.date_language if field.date_language else "de_DE"
 
     date_parts = []

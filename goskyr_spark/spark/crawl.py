@@ -227,7 +227,8 @@ class CrawlEngine:
                  n_slabs=8, slab_capacity=4096, salt_threshold=512,
                  salt_factor=4, now=None, fetch_partitions=None,
                  slab_driver_threshold=100_000, seen_mode="auto",
-                 seen_broadcast_max_bytes=64 << 20, debug=False,
+                 seen_broadcast_max_bytes=64 << 20,
+                 broadcast_join_bytes=32 << 20, debug=False,
                  live_fetcher=None, compact_every=None,
                  frontier_buckets=None, adaptive_priority=False,
                  adaptive_yield_weight=0.5, adaptive_error_weight=2.0,
@@ -272,6 +273,14 @@ class CrawlEngine:
         self.slab_driver_threshold = slab_driver_threshold
         self.seen_mode = seen_mode
         self.seen_broadcast_max_bytes = seen_broadcast_max_bytes
+        # size gate (on-disk parquet bytes, driver-known from the
+        # manifest — no job) under which the small side of the frontier/
+        # seen anti-joins gets an explicit broadcast hint: Catalyst's
+        # estimates for multi-file unioned parquet reads routinely
+        # overshoot the 10 MB auto threshold, leaving a shuffle join on
+        # a side that is actually a few MB. Above the gate the joins
+        # fall back to shuffle — scale-adaptive, never wrong.
+        self.broadcast_join_bytes = broadcast_join_bytes
         # frontier_buckets=N turns on host-hash-BUCKETED frontier/fetched
         # storage (bucket = crc32(host) mod N, Iceberg bucket-transform
         # analog): every append/compaction writes one file per bucket,
@@ -363,6 +372,19 @@ class CrawlEngine:
         self.t_rounds = self.store.table("rounds")
         self.t_host_stats = self.store.table("host_stats")
 
+    def _files_bytes(self, table, rel_files=None):
+        """On-disk bytes of a table's (or a subset of its) files —
+        driver-side stat calls, no Spark job; drives broadcast gates."""
+        files = (rel_files if rel_files is not None
+                 else table.manifest()["files"])
+        total = 0
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(table.dir, f))
+            except OSError:
+                pass
+        return total
+
     def _canon_expr(self, col):
         """URL-canonicalization Column for the configured mode: syntax
         passes only (True) or syntax + percent-encoding kernel
@@ -402,15 +424,133 @@ class CrawlEngine:
                 df = df.coalesce(coalesce)
             getattr(table, mode)(df, meta)
             return
-        n_b = self.frontier_buckets
-        parts = max(1, min(n_b, self.fetch_partitions))
-        bdf = df.withColumn(
-            "_bucket", F.pmod(F.crc32(F.col("host")), F.lit(n_b))) \
-            .repartition(parts, "_bucket")
-        # bucket_mod: a reader with a DIFFERENT bucket count must not
-        # trust these buckets (host-partitioning only holds per modulus)
-        getattr(table, mode)(bdf, dict(meta or {}, bucket_mod=n_b),
+        getattr(table, mode)(self._bucketed_df(df),
+                             dict(meta or {},
+                                  bucket_mod=self.frontier_buckets),
                              partition_by="_bucket")
+
+    def _bucketed_df(self, df):
+        """df + _bucket column, repartitioned by bucket WITHOUT a pinned
+        partition count — AQE coalesces the exchange by size, so a
+        65-row tail round shuffles into one task while a fat round still
+        spreads (the file set per bucket value is identical either way:
+        partitionBy splits by value, not by task)."""
+        return df.withColumn(
+            "_bucket", F.pmod(F.crc32(F.col("host")),
+                              F.lit(self.frontier_buckets))) \
+            .repartition("_bucket")
+
+    def _hostpart_append_counted(self, table, df, meta):
+        """Append a host-keyed table and return (n_rows, new file paths)
+        — row count from the written footers, no count() job."""
+        if not self.frontier_buckets:
+            return table.append_counted(df, meta)
+        return table.append_counted(
+            self._bucketed_df(df),
+            dict(meta or {}, bucket_mod=self.frontier_buckets),
+            partition_by="_bucket")
+
+    def _append_seen_from_files(self, new_files, round_no, n_new):
+        """Seen-table append derived from the frontier files the round
+        just wrote. Under slab_driver_threshold the copy is a driver-side
+        pyarrow read+write (no Spark job) and the url hashes are returned
+        for the slab update to reuse; above it, one cheap Spark re-scan
+        of the written files. Row content is identical either way."""
+        import pyarrow.parquet as pq
+
+        if n_new <= self.slab_driver_threshold:
+            t = pa.concat_tables(
+                [pq.read_table(p, columns=["url", "url_hash"])
+                 .cast(pa.schema([pa.field("url", pa.string()),
+                                  pa.field("url_hash", pa.int64())]))
+                 for p in new_files])
+            self.t_seen.append_arrow(
+                pa.table({"url": t.column("url"),
+                          "url_hash": t.column("url_hash"),
+                          "round": pa.array([round_no] * t.num_rows,
+                                            pa.int64())}),
+                {"round": round_no})
+            return t.column("url_hash").to_numpy(zero_copy_only=False)
+        self.t_seen.append(
+            self.spark.read.parquet(*new_files)
+            .select("url", "url_hash",
+                    F.lit(round_no).cast("long").alias("round")),
+            {"round": round_no})
+        return None
+
+    _FETCHED_ARROW = pa.schema([
+        pa.field("url", pa.string()),
+        pa.field("url_hash", pa.int64()),
+        pa.field("host", pa.string()),
+        pa.field("round", pa.int64()),
+        pa.field("fetch_seq", pa.int64()),
+        pa.field("fetch_ts", pa.float64()),
+        pa.field("status", pa.string()),
+        pa.field("n_items", pa.int64()),
+        pa.field("n_errors", pa.int64()),
+    ])
+
+    def _commit_fetched_driver(self, pdf, round_no):
+        """Small-round fetched commit from the sorted collected frame:
+        assign fetch_seq positionally, write parquet driver-side (one
+        file; per-bucket files under the same crc32(host) modulus in
+        bucketed mode), and return the round-summary stats — all with
+        zero further Spark jobs."""
+        import zlib
+
+        n = len(pdf)
+        pdf = pdf.assign(fetch_seq=np.arange(1, n + 1, dtype=np.int64))
+
+        def to_arrow(sub):
+            return pa.table(
+                {f.name: pa.array(sub[f.name], type=f.type)
+                 for f in self._FETCHED_ARROW},
+                schema=self._FETCHED_ARROW)
+
+        if not self.frontier_buckets:
+            self.t_fetched.append_arrow(to_arrow(pdf), {"round": round_no})
+        else:
+            n_b = self.frontier_buckets
+            buckets = pdf["host"].map(
+                lambda h: zlib.crc32(h.encode()) % n_b)
+            tables = {int(b): to_arrow(sub)
+                      for b, sub in pdf.groupby(buckets)}
+            self.t_fetched.append_arrow_bucketed(
+                tables, {"round": round_no, "bucket_mod": n_b})
+        return [{"_pid": 0,
+                 "n_fetched": n,
+                 "n_ok": int((pdf["status"] == "ok").sum()),
+                 "n_items": int(pdf["n_items"].sum()),
+                 "n_errors": int(pdf["n_errors"].sum())}]
+
+    def _commit_host_stats_driver(self, pdf, round_no):
+        """Adaptive host-feedback delta from the already-collected
+        fetched frame (small rounds): pandas groupby + pyarrow append —
+        no per-round Spark write job."""
+        import zlib
+
+        g = pdf.assign(_ok=(pdf["status"] == "ok").astype("int64")) \
+            .groupby("host", sort=False) \
+            .agg(n_fetched=("host", "size"), n_ok=("_ok", "sum"),
+                 n_items=("n_items", "sum")).reset_index()
+        if not self.frontier_buckets:
+            self.t_host_stats.append_rows(
+                [(r.host, int(r.n_fetched), int(r.n_ok), int(r.n_items),
+                  round_no) for r in g.itertuples()],
+                HOST_STATS_SCHEMA, {"round": round_no})
+            return
+        n_b = self.frontier_buckets
+        buckets = g["host"].map(lambda h: zlib.crc32(h.encode()) % n_b)
+        tables = {}
+        for b, sub in g.groupby(buckets):
+            tables[int(b)] = pa.table({
+                "host": pa.array(sub["host"], pa.string()),
+                "n_fetched": pa.array(sub["n_fetched"], pa.int64()),
+                "n_ok": pa.array(sub["n_ok"], pa.int64()),
+                "n_items": pa.array(sub["n_items"], pa.int64()),
+                "round": pa.array([round_no] * len(sub), pa.int64())})
+        self.t_host_stats.append_arrow_bucketed(
+            tables, {"round": round_no, "bucket_mod": n_b})
 
     def _buckets_complete(self):
         """True when EVERY live frontier/fetched file has a bucket
@@ -594,7 +734,21 @@ class CrawlEngine:
 
         spec = self.spark.createDataFrame([(b,) for b in buckets],
                                           "bucket long")
-        n_parts = max(1, min(len(buckets), self.fetch_partitions))
+        # task count sized by the BYTES the kernel will actually read
+        # (driver-side stat of the per-bucket file lists — no job): a
+        # tail round with a few KB of pending rows runs as ONE task
+        # (the kernel loops over every bucket in its batch) instead of
+        # paying fetch_partitions Python-worker launches; fat frontiers
+        # still fan out to one task per ~4 MB bucket group.
+        total_bytes = 0
+        for ff, gg, hh in by_bucket.values():
+            for p in (*ff, *gg, *hh):
+                try:
+                    total_bytes += os.path.getsize(p)
+                except OSError:
+                    pass
+        n_parts = max(1, min(len(buckets), self.fetch_partitions,
+                             total_bytes // (4 << 20) + 1))
         work = (spec.repartition(n_parts, "bucket")
                 .mapInArrow(kernel, out_spark))
         if adaptive:
@@ -652,16 +806,18 @@ class CrawlEngine:
         return last
 
     def bootstrap(self):
-        """Round -1: seed the frontier + seen set."""
+        """Round -1: seed the frontier + seen set. ONE Spark job (the
+        frontier write, which computes the JVM xxhash64); the seen copy
+        and slab build derive from the written files driver-side."""
         rows = [(u, None, url_host(u), 0.0, 0, -1, 1) for u in self.seeds]
         df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA) \
             .withColumn("url_hash", F.xxhash64("url"))
-        self._hostpart_write(self.t_frontier, df, {"round": -1})
-        self.t_seen.append(df.select("url", "url_hash",
-                                     F.lit(-1).cast("long").alias("round")),
-                           {"round": -1})
-        self._update_slabs(df.select("url", "url_hash"), -1,
-                           n_new=len(self.seeds))
+        n, files = self._hostpart_append_counted(self.t_frontier, df,
+                                                 {"round": -1})
+        if n:
+            hashes = self._append_seen_from_files(files, -1, n)
+            self._update_slabs(None, -1, n_new=n, hashes=hashes,
+                               files=files)
         self.t_rounds.append_rows(
             [(-1, 0, 0, 0, 0, len(self.seeds), 0.0)], ROUNDS_SCHEMA,
             {"round": -1})
@@ -751,7 +907,8 @@ class CrawlEngine:
 
     # --- slab update ---------------------------------------------------------
 
-    def _update_slabs(self, new_urls_df, round_no, n_new=None):
+    def _update_slabs(self, new_urls_df, round_no, n_new=None, hashes=None,
+                      files=None):
         """Insert new url hashes into their slab's bloom+cuckoo filters.
 
         Filters must never have FALSE NEGATIVES (a seen url missing from
@@ -760,28 +917,46 @@ class CrawlEngine:
         at double size from the authoritative seen table (amortized
         doubling, like a hash table).
 
-        Small rounds in broadcast mode update driver-side from a single
-        collect; big discovery rounds — and ALL rounds once the seen test
-        is partition-aligned — go through the distributed slab-aligned
-        path, where blobs are built and written entirely executor-side.
+        Small rounds in broadcast mode update driver-side (from
+        ``hashes`` when the caller already holds them — e.g. read from
+        the round's written frontier files — else one collect); big
+        discovery rounds — and ALL rounds once the seen test is
+        partition-aligned — go through the distributed slab-aligned
+        path, where blobs are built and written entirely executor-side
+        (``files`` supplies the input as a cheap parquet re-scan so the
+        flag/anti-join lineage is never recomputed).
         """
         if n_new is None:
-            n_new = new_urls_df.count()
+            n_new = (len(hashes) if hashes is not None
+                     else new_urls_df.count())
         if n_new > self.slab_driver_threshold or \
                 (self._seen_partitioned() and self.t_slabs.exists()):
-            self._update_slabs_distributed(new_urls_df, round_no)
+            if new_urls_df is None:
+                new_urls_df = self.spark.read.parquet(*files) \
+                    .select("url", "url_hash")
+            self._update_slabs_distributed(new_urls_df, round_no,
+                                           hashes=hashes)
         else:
-            self._update_slabs_driver(new_urls_df, round_no)
+            if hashes is None:
+                if new_urls_df is not None:
+                    hashes = [r["url_hash"] for r in
+                              new_urls_df.select("url_hash").collect()]
+                else:
+                    import pyarrow.parquet as pq
 
-    def _update_slabs_driver(self, new_urls_df, round_no):
+                    hashes = pa.concat_tables(
+                        [pq.read_table(p, columns=["url_hash"])
+                         for p in files]).column("url_hash") \
+                        .to_numpy(zero_copy_only=False)
+            self._update_slabs_driver(hashes, round_no)
+
+    def _update_slabs_driver(self, hashes, round_no):
         n_slabs = self.n_slabs
         slabs = dict(self._slabs_cached())
         stats = dict(self._slab_stats())
 
         # driver-side update: new-url hash volume per round is bounded by
         # slab_driver_threshold (8 bytes/url — 100k new urls = 800 KB)
-        hashes = [r["url_hash"] for r in
-                  new_urls_df.select("url_hash").collect()]
         by_slab = {}
         for h in hashes:
             by_slab.setdefault(int(h) % n_slabs, []).append(h)
@@ -834,27 +1009,37 @@ class CrawlEngine:
             stats[sid] = (cuckoo.count, cap_now)
 
         if out_rows:
-            self.t_slabs.append(
-                self.spark.createDataFrame(out_rows, SLAB_SCHEMA),
-                {"round": round_no})
+            # driver-known rows (the blobs were just built here): pyarrow
+            # append, no Spark job
+            self.t_slabs.append_rows(out_rows, SLAB_SCHEMA,
+                                     {"round": round_no})
         head = self.t_slabs.head()
         self._slabs_mem = (head, slabs)
         self._stats_mem = (head, stats)
         self._files_mem = None
 
-    def _update_slabs_distributed(self, new_urls_df, round_no):
+    def _update_slabs_distributed(self, new_urls_df, round_no,
+                                  hashes=None):
         """Slab-aligned executor-side update (the 10^10-URL path): new
         url hashes shuffle by slab id; each task builds its slabs' new
         Bloom+cuckoo bytes and writes them straight to slab parquet —
         blobs never touch the driver. Slabs that would exceed 80% load
         are rebuilt exactly from the seen-table slice, shipped through
         the same shuffle, at a capacity fixed driver-side from the
-        pruned stats read."""
+        pruned stats read. When the caller already holds the hashes
+        (small partitioned-mode rounds) the per-sid count job is a
+        numpy bincount instead of a Spark aggregation."""
         stats = self._slab_stats()
         sid_col = F.pmod(F.col("url_hash"), F.lit(self.n_slabs)).alias("sid")
-        new_counts = {int(r["sid"]): int(r["c"])
-                      for r in new_urls_df.select(sid_col).groupBy("sid")
-                      .agg(F.count("*").alias("c")).collect()}
+        if hashes is not None:
+            sids = np.asarray(hashes, dtype=np.int64) \
+                % np.int64(self.n_slabs)
+            vals, cnts = np.unique(sids, return_counts=True)
+            new_counts = {int(v): int(c) for v, c in zip(vals, cnts)}
+        else:
+            new_counts = {int(r["sid"]): int(r["c"])
+                          for r in new_urls_df.select(sid_col).groupBy("sid")
+                          .agg(F.count("*").alias("c")).collect()}
         if not new_counts:
             return
         build_caps, incr_sids = {}, []
@@ -1008,11 +1193,13 @@ class CrawlEngine:
             flagged = self._flag_broadcast(candidates)
         definitely_new = flagged.filter("maybe_seen = 0").drop("maybe_seen")
         maybe_seen = flagged.filter("maybe_seen = 1").drop("maybe_seen")
-        seen = self.t_seen.read(self.spark, schema=SEEN_SCHEMA)
+        seen = self.t_seen.read(self.spark, schema=SEEN_SCHEMA) \
+            .select("url_hash", "url")
+        if self._files_bytes(self.t_seen) <= self.broadcast_join_bytes:
+            seen = F.broadcast(seen)
         # exact join on BOTH hash and url: a 64-bit hash collision must not
         # drop a distinct url (exactness of the seen set)
-        confirmed_new = maybe_seen.join(seen.select("url_hash", "url"),
-                                        on=["url_hash", "url"],
+        confirmed_new = maybe_seen.join(seen, on=["url_hash", "url"],
                                         how="left_anti")
         return definitely_new.unionByName(confirmed_new)
 
@@ -1144,8 +1331,14 @@ class CrawlEngine:
                   for f in aj_files])
         else:
             fetched_aj = spark.createDataFrame([], FETCHED_SCHEMA)
-        pending = frontier.join(fetched_aj.select("url_hash", "url"),
-                                on=["url_hash", "url"], how="left_anti")
+        fa = fetched_aj.select("url_hash", "url")
+        if self._files_bytes(self.t_fetched,
+                             aj_files) <= self.broadcast_join_bytes:
+            # small anti-join side → broadcast: the frontier scan is
+            # never shuffled just to drop already-fetched rows
+            fa = F.broadcast(fa)
+        pending = frontier.join(fa, on=["url_hash", "url"],
+                                how="left_anti")
 
         if self.adaptive_priority:
             # per-host feedback from the INCREMENTAL host_stats
@@ -1160,6 +1353,9 @@ class CrawlEngine:
                         F.sum("n_ok").alias("_nok"),
                         F.sum("n_items").alias("_ni"))
                    .select("host", self._adaptive_adj_expr()))
+            if self._files_bytes(self.t_host_stats) \
+                    <= self.broadcast_join_bytes:
+                adj = F.broadcast(adj)
             pending = (pending.join(adj, "host", "left")
                        .withColumn(
                            "_eff",
@@ -1179,8 +1375,18 @@ class CrawlEngine:
                 .limit(self.round_budget)
                 .drop("_eff"))
 
+    def _mark(self, name):
+        """Phase checkpoint for profiling: records (name, secs since the
+        previous mark) into self.last_phases. Cost is one time.time()
+        call per phase per round — always on, read by bench_extra.py."""
+        now = time.time()
+        self.last_phases.append((name, now - self._mark_t))
+        self._mark_t = now
+
     def run_round(self, round_no: int):
         t0 = time.time()
+        self.last_phases = []
+        self._mark_t = t0
         spark = self.spark
         if self.frontier_buckets and self._buckets_complete():
             dequeued = self._dequeue_bucketed()
@@ -1189,6 +1395,7 @@ class CrawlEngine:
 
         dequeued = dequeued.cache()
         n_dequeued = dequeued.count()
+        self._mark("dequeue")
         if n_dequeued == 0:
             dequeued.unpersist()
             self._release_round_broadcasts()  # bucketed dequeue's file map
@@ -1211,6 +1418,7 @@ class CrawlEngine:
             hot_hosts = {r["host"] for r in host_counts
                          .filter(F.col("count") > self.salt_threshold)
                          .collect()}
+            self._mark("salt_detect")
 
         if self.debug and self.pages is not None:
             dbg = (dequeued
@@ -1221,24 +1429,29 @@ class CrawlEngine:
                 dbg.coalesce(max(1, n_dequeued // 50_000 + 1)),
                 {"round": round_no})
 
+        # politeness schedule: deterministic virtual clock per host —
+        # computed with window functions (rank within host by priority,url)
+        # so it is independent of physical partitioning. Computed on the
+        # DEQUEUED rows BEFORE html is attached: the window's exchange
+        # then moves only (url, host, priority, ...) — not page payloads.
+        # (Previously it ran after the pages join, so every html byte
+        # crossed one extra shuffle; at the 100 TB design point that is
+        # a full corpus pass over the network per round.)
+        wseq = Window.partitionBy("host").orderBy("priority", "url")
+        work = dequeued.withColumn("_host_seq",
+                                   F.row_number().over(wseq).cast("long"))
+
         if self.pages is not None:
             robots_df = self._robots_df()
-            work = (dequeued
+            work = (work
                     .join(self.pages.select(F.col("url"),
                                             F.col("html").alias("_html")),
                           on="url", how="left")
                     .join(robots_df, on="host", how="left"))
         else:  # live mode: html + robots arrive inside the kernel
-            work = (dequeued
+            work = (work
                     .withColumn("_html", F.lit(None).cast("binary"))
                     .withColumn("_robots", F.lit(None).cast("binary")))
-
-        # politeness schedule: deterministic virtual clock per host —
-        # computed with window functions (rank within host by priority,url)
-        # so it is independent of physical partitioning
-        wseq = Window.partitionBy("host").orderBy("priority", "url")
-        work = work.withColumn("_host_seq",
-                               F.row_number().over(wseq).cast("long"))
 
         salt_factor = self.salt_factor
         hot = F.col("host").isin(list(hot_hosts)) if hot_hosts else F.lit(False)
@@ -1388,6 +1601,7 @@ class CrawlEngine:
                          *[n for n, _ in fcols],
                          F.lit(round_no).cast("long").alias("round")))
         self.t_items.append(items.coalesce(out_coalesce), {"round": round_no})
+        self._mark("fetch_extract+items")
 
         # --- commit: live-mode html retention (debug sink / on_subpage
         # stage-2 source): kernel-fetched html is only reachable through
@@ -1422,56 +1636,84 @@ class CrawlEngine:
                               F.col("_n_errors").alias("n_errors"))
                       .withColumn("url_hash", F.xxhash64("url"))
                       .withColumn("round", F.lit(round_no).cast("long")))
-        n_seq_parts = max(1, min(n_fetch_parts, (n_dequeued + 4095) // 4096))
-        seq_sorted = (fetch_base
-                      .repartitionByRange(n_seq_parts,
-                                          "fetch_ts", "host", "url")
-                      .sortWithinPartitions("fetch_ts", "host", "url")
-                      .withColumn("_pid", F.spark_partition_id())
-                      .withColumn("_local",
-                                  F.monotonically_increasing_id()
-                                  .bitwiseAND(F.lit((1 << 33) - 1)))
-                      ).cache()
-        # ONE tiny aggregation serves both the fetch_seq offsets AND the
-        # per-partition lineage metrics/round summary (merged jobs — the
-        # per-round fixed overhead is what bounds small-round throughput)
         started = datetime.now(timezone.utc)
-        stats = (seq_sorted.groupBy("_pid")
-                 .agg(F.count("*").alias("n_fetched"),
-                      F.sum(F.when(F.col("status") == "ok", 1).otherwise(0))
-                      .alias("n_ok"),
-                      F.sum("n_items").alias("n_items"),
-                      F.sum("n_errors").alias("n_errors"))).collect()
-        ended = datetime.now(timezone.utc)
-        pid_counts = {int(r["_pid"]): int(r["n_fetched"]) for r in stats}
-        offs, acc = {}, 0
-        for pid in sorted(pid_counts):  # range partitions are key-ordered
-            offs[pid] = acc
-            acc += pid_counts[pid]
-        off_map = F.create_map(*[F.lit(v) for pid in sorted(offs)
-                                 for v in (pid, offs[pid])])
-        fetch_rows = (seq_sorted
-                      .withColumn("fetch_seq",
-                                  (F.col("_local") + 1 +
-                                   F.element_at(off_map, F.col("_pid")))
-                                  .cast("long"))
-                      .select(*[f.name for f in FETCHED_SCHEMA.fields]))
-        # single consumer (the append) — reads the seq_sorted cache
-        self._hostpart_write(self.t_fetched, fetch_rows,
-                             {"round": round_no}, coalesce=out_coalesce)
-        # incremental host feedback: THIS round's per-host delta (from
-        # the same seq_sorted cache — no rescan), so the adaptive
-        # dequeue never re-aggregates fetched history. Only adaptive
-        # crawls consume the table, so non-adaptive crawls skip the
-        # per-round write job — unless the workdir already carries the
-        # table (an adaptive crawl resumed with the flag off must keep
-        # the deltas continuous for a later adaptive resume).
-        if self.adaptive_priority or self.t_host_stats.exists():
-            self._hostpart_write(
-                self.t_host_stats,
-                self._host_stats_delta(seq_sorted)
-                .withColumn("round", F.lit(round_no).cast("long")),
-                {"round": round_no}, coalesce=1)
+        small_round = n_dequeued <= self.slab_driver_threshold
+        if small_round:
+            # SMALL-ROUND FAST PATH: the fetch set has exactly
+            # n_dequeued rows (one per dequeued url), bounded by
+            # slab_driver_threshold — the same driver-materialization
+            # bound the seen set uses. ONE job collects it sorted
+            # (Arrow path); fetch_seq is then a plain position in the
+            # sorted frame, the parquet append is a driver-side pyarrow
+            # write (per-bucket files in bucketed mode, same crc32
+            # modulus as the JVM writer), and the round summary /
+            # lineage metrics / adaptive host_stats delta all come from
+            # the frame already in hand — no range sampling, no
+            # offset-collect job, no cache, no committer temp-dir
+            # dance, no re-read. Identical fetch_seq values: the sort
+            # key is unique per round, so position-in-sorted-order is
+            # the same ranking the range-partitioned path computes.
+            pdf = (fetch_base
+                   .coalesce(1)
+                   .sortWithinPartitions("fetch_ts", "host", "url")
+                   .toPandas())
+            stats = self._commit_fetched_driver(pdf, round_no)
+            ended = datetime.now(timezone.utc)
+            self._mark("fetched_write")
+            if self.adaptive_priority or self.t_host_stats.exists():
+                self._commit_host_stats_driver(pdf, round_no)
+                self._mark("host_stats")
+        else:
+            n_seq_parts = max(1, min(n_fetch_parts,
+                                     (n_dequeued + 4095) // 4096))
+            seq_sorted = (fetch_base
+                          .repartitionByRange(n_seq_parts,
+                                              "fetch_ts", "host", "url")
+                          .sortWithinPartitions("fetch_ts", "host", "url")
+                          .withColumn("_pid", F.spark_partition_id())
+                          .withColumn("_local",
+                                      F.monotonically_increasing_id()
+                                      .bitwiseAND(F.lit((1 << 33) - 1)))
+                          ).cache()
+            # ONE tiny aggregation serves both the fetch_seq offsets AND
+            # the per-partition lineage metrics/round summary
+            stats = (seq_sorted.groupBy("_pid")
+                     .agg(F.count("*").alias("n_fetched"),
+                          F.sum(F.when(F.col("status") == "ok", 1)
+                                .otherwise(0)).alias("n_ok"),
+                          F.sum("n_items").alias("n_items"),
+                          F.sum("n_errors").alias("n_errors"))).collect()
+            ended = datetime.now(timezone.utc)
+            self._mark("seq_stats")
+            pid_counts = {int(r["_pid"]): int(r["n_fetched"])
+                          for r in stats}
+            offs, acc = {}, 0
+            for pid in sorted(pid_counts):  # range parts are key-ordered
+                offs[pid] = acc
+                acc += pid_counts[pid]
+            off_map = F.create_map(*[F.lit(v) for pid in sorted(offs)
+                                     for v in (pid, offs[pid])])
+            fetch_rows = (seq_sorted
+                          .withColumn("fetch_seq",
+                                      (F.col("_local") + 1 +
+                                       F.element_at(off_map, F.col("_pid")))
+                                      .cast("long"))
+                          .select(*[f.name for f in FETCHED_SCHEMA.fields]))
+            # single consumer (the append) — reads the seq_sorted cache
+            self._hostpart_write(self.t_fetched, fetch_rows,
+                                 {"round": round_no}, coalesce=out_coalesce)
+            self._mark("fetched_write")
+            # incremental host feedback: THIS round's per-host delta
+            # (from the same seq_sorted cache — no rescan), so the
+            # adaptive dequeue never re-aggregates fetched history.
+            if self.adaptive_priority or self.t_host_stats.exists():
+                self._hostpart_write(
+                    self.t_host_stats,
+                    self._host_stats_delta(seq_sorted)
+                    .withColumn("round", F.lit(round_no).cast("long")),
+                    {"round": round_no}, coalesce=1)
+                self._mark("host_stats")
+            seq_sorted.unpersist()
         dequeued.unpersist()
 
         # --- outlinks → seen-set → new frontier rows
@@ -1493,23 +1735,26 @@ class CrawlEngine:
                     .withColumn("discovered_round",
                                 F.lit(round_no).cast("long"))
                     .select(*[f.name for f in FRONTIER_SCHEMA.fields]))
-        new_urls = self._filter_new_urls(outlinks, round_no).cache()
-        n_new = new_urls.count()
-        new_coalesce = max(1, min(self.n_slabs, n_new // 50_000 + 1))
+        # WRITE-FIRST commit: the new-url set is appended straight to the
+        # frontier (ONE job — no count() pass, no cache); n_new comes from
+        # the written parquet footers, and the seen append + slab update
+        # are derived FROM THE WRITTEN FILES (driver-side pyarrow under
+        # slab_driver_threshold, a cheap file re-scan above it) instead of
+        # recomputing the flag/anti-join lineage per consumer.
+        new_urls = self._filter_new_urls(outlinks, round_no)
+        n_new, new_files = self._hostpart_append_counted(
+            self.t_frontier, new_urls, {"round": round_no})
+        self._mark("frontier(new_urls)")
         if n_new:
-            self._hostpart_write(self.t_frontier, new_urls,
-                                 {"round": round_no},
-                                 coalesce=new_coalesce)
-            self.t_seen.append(
-                new_urls.select("url", "url_hash",
-                                F.lit(round_no).cast("long").alias("round"))
-                .coalesce(new_coalesce),
-                {"round": round_no})
-            self._update_slabs(new_urls.select("url", "url_hash"),
-                               round_no, n_new=n_new)
+            hashes = self._append_seen_from_files(new_files, round_no, n_new)
+            self._mark("seen")
+            self._update_slabs(None, round_no, n_new=n_new,
+                               hashes=hashes, files=new_files)
+            self._mark("slabs")
         else:
             # still mark the round on the tables for rollback bookkeeping
-            for t in (self.t_frontier, self.t_seen, self.t_slabs):
+            # (append_counted already meta-committed the frontier)
+            for t in (self.t_seen, self.t_slabs):
                 t.commit_meta({"round": round_no})
 
         # --- per-partition lineage metrics: from the SAME aggregation
@@ -1533,9 +1778,8 @@ class CrawlEngine:
         self.t_rounds.append_rows([tuple(summary.values())],
                                   ROUNDS_SCHEMA, {"round": round_no})
         result.unpersist()
-        seq_sorted.unpersist()
-        new_urls.unpersist()
         self._release_round_broadcasts()
+        self._mark("commit_tail")
         return summary
 
     def run(self, max_rounds=100):

@@ -132,6 +132,45 @@ class SnapshotTable:
             meta = dict(meta or {}, file_buckets=buckets)
         return self._commit(files, meta, "append")
 
+    def append_counted(self, df, meta=None, partition_by=None):
+        """Append and return (n_rows, absolute_paths) of the NEW files.
+        The row count comes from the written parquet footers (driver-side
+        metadata, no extra Spark job); when the append turns out empty
+        the files are dropped and only a meta commit is made, so empty
+        rounds never accumulate zero-row files."""
+        import pyarrow.parquet as pq
+
+        files, buckets = self._write_files(df, self.head() + 1,
+                                           partition_by)
+        n = 0
+        for f in files:
+            n += pq.ParquetFile(
+                os.path.join(self.dir, f)).metadata.num_rows
+        if n == 0:
+            for f in files:
+                try:
+                    os.remove(os.path.join(self.dir, f))
+                except OSError:
+                    pass
+            self._commit(self.manifest()["files"], meta, "overwrite")
+            return 0, []
+        if buckets is not None:
+            meta = dict(meta or {}, file_buckets=buckets)
+        self._commit(files, meta, "append")
+        return n, [os.path.join(self.dir, f) for f in files]
+
+    def append_arrow(self, table, meta=None):
+        """Driver-side append of a pyarrow Table (no Spark job) — the
+        columnar sibling of append_rows, for small derived appends the
+        driver already holds (e.g. the seen-set rows copied from a
+        just-written frontier file)."""
+        import pyarrow.parquet as pq
+
+        snap = self.head() + 1
+        fn = f"part-{snap:06d}-{uuid.uuid4().hex}.parquet"
+        pq.write_table(table, os.path.join(self.files_dir, fn))
+        return self._commit([os.path.join("files", fn)], meta, "append")
+
     def bucket_map(self, expect_mod=None):
         """{relative file path → bucket} for the CURRENT snapshot's
         files, merged across the manifest chain (append-only commits
@@ -194,6 +233,23 @@ class SnapshotTable:
         fn = f"part-{snap:06d}-{uuid.uuid4().hex}.parquet"
         pq.write_table(table, os.path.join(self.files_dir, fn))
         return self._commit([os.path.join("files", fn)], meta, "append")
+
+    def append_arrow_bucketed(self, tables, meta=None):
+        """Driver-side bucketed append: ``tables`` is {bucket: pyarrow
+        Table}; one file per bucket, file→bucket map recorded in the
+        manifest exactly like a Spark partitionBy write."""
+        import pyarrow.parquet as pq
+
+        snap = self.head() + 1
+        files, buckets = [], {}
+        for b, table in sorted(tables.items()):
+            fn = f"part-{snap:06d}-b{b:05d}-{uuid.uuid4().hex}.parquet"
+            pq.write_table(table, os.path.join(self.files_dir, fn))
+            rel = os.path.join("files", fn)
+            files.append(rel)
+            buckets[rel] = int(b)
+        return self._commit(files, dict(meta or {}, file_buckets=buckets),
+                            "append")
 
     def overwrite(self, df, meta=None, partition_by=None):
         files, buckets = self._write_files(df, self.head() + 1,
