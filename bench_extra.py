@@ -150,12 +150,16 @@ def dump_plans(names, outdir="plans/r07", suffix="before"):
     if names == ["all"]:
         names = list(all_queries())
     os.makedirs(outdir, exist_ok=True)
+    import contextlib
+    import io
+
     for name in names:
         df = qs[name](spark, SF_DIR)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
         with open(os.path.join(outdir, f"{name}_{suffix}.txt"), "w") as f:
-            f.write(plan)
+            f.write(buf.getvalue())
         print(f"wrote {outdir}/{name}_{suffix}.txt")
     spark.stop()
 

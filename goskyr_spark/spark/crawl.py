@@ -281,6 +281,15 @@ class CrawlEngine:
         # a side that is actually a few MB. Above the gate the joins
         # fall back to shuffle — scale-adaptive, never wrong.
         self.broadcast_join_bytes = broadcast_join_bytes
+        # when the ENTIRE dequeue input state (live frontier + post-
+        # compaction fetched + host_stats) is under this many on-disk
+        # bytes, the dequeue runs driver-side with the same pyarrow/
+        # pandas kernel the bucketed path executes per bucket — one
+        # Spark job (and its Python-worker round trip) replaced by a
+        # sub-ms local pass. ~64 MB ≈ 10^6 pending rows, the empirical
+        # crossover where a single-core pandas sort still beats a Spark
+        # job launch; beyond it the distributed dequeues take over.
+        self.dequeue_driver_bytes = 64 << 20
         # frontier_buckets=N turns on host-hash-BUCKETED frontier/fetched
         # storage (bucket = crc32(host) mod N, Iceberg bucket-transform
         # analog): every append/compaction writes one file per bucket,
@@ -477,6 +486,85 @@ class CrawlEngine:
                     F.lit(round_no).cast("long").alias("round")),
             {"round": round_no})
         return None
+
+    def _commit_new_urls_driver(self, outlinks, round_no):
+        """Small-round new-url commit: one Spark job aggregates the
+        outlinks and collects them (hash/host/canonicalization computed
+        by the SAME Spark expressions as the distributed path); the
+        Bloom+cuckoo membership flag, the exact seen confirm and the
+        frontier/seen/slab appends then run driver-side. Returns n_new.
+        Gated by the caller on broadcast seen mode + seen-table bytes +
+        round size."""
+        import zlib
+
+        import pyarrow.parquet as pq
+
+        pdf = outlinks.toPandas()
+        if pdf.empty:
+            for t in (self.t_frontier, self.t_seen, self.t_slabs):
+                t.commit_meta({"round": round_no})
+            self._mark("frontier(new_urls)")
+            return 0
+        n_slabs = self.n_slabs
+        arr = pdf["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
+        sids = (arr % np.uint64(n_slabs)).astype(np.int64)
+        maybe = np.zeros(len(arr), dtype=bool)
+        for sid, pair in self._slabs_cached().items():
+            sel = sids == sid
+            if not sel.any():
+                continue
+            sub = arr[sel]
+            m = BloomFilter.from_bytes(pair[0]).contains_many(sub)
+            m &= CuckooFilter.from_bytes(pair[1]).contains_many(sub)
+            maybe[sel] = m
+        keep = ~maybe
+        if maybe.any() and self.t_seen.exists():
+            url_schema = pa.schema([pa.field("url", pa.string())])
+            seen_urls = set()
+            for f in self.t_seen.manifest()["files"]:
+                seen_urls.update(
+                    self._read_file_cached(self.t_seen.dir, f, ["url"],
+                                           url_schema)
+                    .column("url").to_pylist())
+            # bloom/cuckoo positives that are NOT in the exact seen set
+            # are false positives — keep them (never drop a real URL)
+            keep = keep | ~pdf["url"].isin(seen_urls).to_numpy()
+        new_pdf = pdf[keep]
+        n_new = len(new_pdf)
+        if n_new == 0:
+            for t in (self.t_frontier, self.t_seen, self.t_slabs):
+                t.commit_meta({"round": round_no})
+            self._mark("frontier(new_urls)")
+            return 0
+        tbl = pa.table(
+            {f.name: pa.array(new_pdf[f.name], type=f.type)
+             for f in self._FRONTIER_ARROW}, schema=self._FRONTIER_ARROW)
+        if not self.frontier_buckets:
+            self.t_frontier.append_arrow(tbl, {"round": round_no})
+        else:
+            n_b = self.frontier_buckets
+            buckets = new_pdf["host"].map(
+                lambda h: zlib.crc32(h.encode()) % n_b)
+            tables = {int(b): pa.table(
+                {f.name: pa.array(sub[f.name], type=f.type)
+                 for f in self._FRONTIER_ARROW},
+                schema=self._FRONTIER_ARROW)
+                for b, sub in new_pdf.groupby(buckets)}
+            self.t_frontier.append_arrow_bucketed(
+                tables, {"round": round_no, "bucket_mod": n_b})
+        self._mark("frontier(new_urls)")
+        self.t_seen.append_arrow(
+            pa.table({"url": pa.array(new_pdf["url"], pa.string()),
+                      "url_hash": pa.array(new_pdf["url_hash"],
+                                           pa.int64()),
+                      "round": pa.array([round_no] * n_new, pa.int64())}),
+            {"round": round_no})
+        self._mark("seen")
+        self._update_slabs(None, round_no, n_new=n_new,
+                           hashes=new_pdf["url_hash"]
+                           .to_numpy(dtype=np.int64))
+        self._mark("slabs")
+        return n_new
 
     _FETCHED_ARROW = pa.schema([
         pa.field("url", pa.string()),
@@ -932,8 +1020,14 @@ class CrawlEngine:
         if n_new > self.slab_driver_threshold or \
                 (self._seen_partitioned() and self.t_slabs.exists()):
             if new_urls_df is None:
-                new_urls_df = self.spark.read.parquet(*files) \
-                    .select("url", "url_hash")
+                if files:
+                    new_urls_df = self.spark.read.parquet(*files) \
+                        .select("url", "url_hash")
+                else:
+                    # hashes held driver-side (the distributed build
+                    # only consumes url_hash)
+                    new_urls_df = self.spark.createDataFrame(
+                        [(int(h),) for h in hashes], "url_hash long")
             self._update_slabs_distributed(new_urls_df, round_no,
                                            hashes=hashes)
         else:
@@ -1313,6 +1407,116 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------ round
 
+    def _read_file_cached(self, dirpath, rel, columns, schema):
+        """Driver-side pyarrow read of ONE table file, memoized by path:
+        table files are immutable (uuid names) and the small-state
+        driver paths re-read the same live files every round. Memory is
+        bounded by the dequeue_driver_bytes gate that admits those
+        paths at all."""
+        import pyarrow.parquet as pq
+
+        cache = getattr(self, "_deq_read_cache", None)
+        if cache is None:
+            cache = self._deq_read_cache = {}
+        p = os.path.join(dirpath, rel)
+        key = (p, tuple(columns))
+        t = cache.get(key)
+        if t is None:
+            t = cache[key] = pq.read_table(p, columns=columns).cast(schema)
+        return t
+
+    _FRONTIER_ARROW = pa.schema([
+        pa.field("url", pa.string()),
+        pa.field("url_hash", pa.int64()),
+        pa.field("host", pa.string()),
+        pa.field("priority", pa.float64()),
+        pa.field("depth", pa.int64()),
+        pa.field("discovered_round", pa.int64()),
+        pa.field("page_no", pa.int64()),
+    ])
+
+    def _dequeue_driver(self):
+        """Driver-side dequeue fast path: when the ENTIRE dequeue input
+        (live frontier files + post-compaction fetched files + host
+        stats) fits ``dequeue_driver_bytes``, run the anti-join, the
+        optional adaptive adjustment, the per-host top-k and the global
+        budget as one local pyarrow/pandas pass — the same arithmetic
+        the bucketed mapInArrow kernel executes per bucket (whose
+        digest-parity with the JVM window path is pytest-asserted) —
+        and return the dequeued rows as a pandas frame. Returns None
+        above the gate (callers fall through to the distributed
+        dequeues). Replaces a multi-stage Spark job + count + hot-host
+        detection job with zero jobs for small open frontiers."""
+        import pyarrow.parquet as pq
+
+        fr_rel = self.t_frontier.manifest()["files"]
+        if not fr_rel:
+            import pandas as pd
+
+            return pd.DataFrame(
+                columns=[f.name for f in FRONTIER_SCHEMA.fields])
+        aj_rel, _c = self._antijoin_fetched_files()
+        adaptive = self.adaptive_priority
+        hs_rel = (self.t_host_stats.manifest()["files"]
+                  if adaptive and self.t_host_stats.exists() else [])
+        total = (self._files_bytes(self.t_frontier, fr_rel)
+                 + self._files_bytes(self.t_fetched, aj_rel)
+                 + self._files_bytes(self.t_host_stats, hs_rel))
+        if total > self.dequeue_driver_bytes:
+            return None
+        read = self._read_file_cached
+        cols = [f.name for f in FRONTIER_SCHEMA.fields]
+        fr = pa.concat_tables(
+            [read(self.t_frontier.dir, f, cols, self._FRONTIER_ARROW)
+             for f in fr_rel])
+        pdf = fr.to_pandas()
+        if aj_rel:
+            url_schema = pa.schema([pa.field("url", pa.string())])
+            fetched_urls = pa.concat_tables(
+                [read(self.t_fetched.dir, f, ["url"], url_schema)
+                 for f in aj_rel])
+            if fetched_urls.num_rows:
+                pdf = pdf[~pdf["url"].isin(
+                    set(fetched_urls.column("url").to_pylist()))]
+        if pdf.empty:
+            return pdf
+        if adaptive:
+            # identical float64 arithmetic to the bucketed kernel /
+            # the window path's JVM expression (integer sums then one
+            # double expression)
+            eff = pdf["priority"].to_numpy(dtype="float64")
+            if hs_rel:
+                hpdf = pa.concat_tables(
+                    [pq.read_table(
+                        os.path.join(self.t_host_stats.dir, f),
+                        columns=["host", "n_fetched", "n_ok", "n_items"])
+                     .cast(pa.schema(
+                         [pa.field("host", pa.string()),
+                          pa.field("n_fetched", pa.int64()),
+                          pa.field("n_ok", pa.int64()),
+                          pa.field("n_items", pa.int64())]))
+                     for f in hs_rel]).to_pandas()
+                if len(hpdf):
+                    g = hpdf.groupby("host", sort=False).agg(
+                        _nf=("n_fetched", "sum"), _nok=("n_ok", "sum"),
+                        _ni=("n_items", "sum"))
+                    nf = g["_nf"].to_numpy(dtype="float64")
+                    nok = g["_nok"].to_numpy(dtype="float64")
+                    ni = g["_ni"].to_numpy(dtype="float64")
+                    adj = (float(self.adaptive_error_weight)
+                           * ((nf - nok) / nf)
+                           - float(self.adaptive_yield_weight)
+                           * np.minimum(1.0, ni / np.maximum(nok, 1.0)))
+                    amap = dict(zip(g.index, adj))
+                    eff = eff + pdf["host"].map(amap) \
+                        .fillna(0.0).to_numpy(dtype="float64")
+            pdf = pdf.assign(_eff=eff).sort_values(["_eff", "url"])
+        else:
+            pdf = pdf.sort_values(["priority", "url"])
+        pdf = pdf.groupby("host", sort=False).head(self.per_host_budget)
+        pdf = pdf.head(self.round_budget)
+        return pdf[cols].reset_index(drop=True)
+
     def _dequeue_window(self):
         """Shuffle-based dequeue (the non-bucketed path): compaction-
         pruned anti-join, optional adaptive host feedback, per-host
@@ -1388,16 +1592,24 @@ class CrawlEngine:
         self.last_phases = []
         self._mark_t = t0
         spark = self.spark
-        if self.frontier_buckets and self._buckets_complete():
-            dequeued = self._dequeue_bucketed()
+        deq_pdf = self._dequeue_driver()
+        deq_cached = False
+        if deq_pdf is not None:
+            n_dequeued = len(deq_pdf)
+            dequeued = (spark.createDataFrame(deq_pdf, FRONTIER_SCHEMA)
+                        if n_dequeued else None)
         else:
-            dequeued = self._dequeue_window()
-
-        dequeued = dequeued.cache()
-        n_dequeued = dequeued.count()
+            if self.frontier_buckets and self._buckets_complete():
+                dequeued = self._dequeue_bucketed()
+            else:
+                dequeued = self._dequeue_window()
+            dequeued = dequeued.cache()
+            deq_cached = True
+            n_dequeued = dequeued.count()
         self._mark("dequeue")
         if n_dequeued == 0:
-            dequeued.unpersist()
+            if deq_cached:
+                dequeued.unpersist()
             self._release_round_broadcasts()  # bucketed dequeue's file map
             self.t_rounds.append_rows(
                 [(round_no, 0, 0, 0, 0, 0, time.time() - t0)],
@@ -1414,10 +1626,14 @@ class CrawlEngine:
         # (mock mode's virtual clock is partition-independent, so salting
         # stays on there). per_host_budget still bounds hot hosts.
         if self.live_fetcher is None and n_dequeued > self.salt_threshold:
-            host_counts = dequeued.groupBy("host").count()
-            hot_hosts = {r["host"] for r in host_counts
-                         .filter(F.col("count") > self.salt_threshold)
-                         .collect()}
+            if deq_pdf is not None:
+                vc = deq_pdf["host"].value_counts()
+                hot_hosts = set(vc[vc > self.salt_threshold].index)
+            else:
+                host_counts = dequeued.groupBy("host").count()
+                hot_hosts = {r["host"] for r in host_counts
+                             .filter(F.col("count") > self.salt_threshold)
+                             .collect()}
             self._mark("salt_detect")
 
         if self.debug and self.pages is not None:
@@ -1714,7 +1930,8 @@ class CrawlEngine:
                     {"round": round_no}, coalesce=1)
                 self._mark("host_stats")
             seq_sorted.unpersist()
-        dequeued.unpersist()
+        if deq_cached:
+            dequeued.unpersist()
 
         # --- outlinks → seen-set → new frontier rows
         out_url = F.col("_outlink")
@@ -1735,27 +1952,45 @@ class CrawlEngine:
                     .withColumn("discovered_round",
                                 F.lit(round_no).cast("long"))
                     .select(*[f.name for f in FRONTIER_SCHEMA.fields]))
-        # WRITE-FIRST commit: the new-url set is appended straight to the
-        # frontier (ONE job — no count() pass, no cache); n_new comes from
-        # the written parquet footers, and the seen append + slab update
-        # are derived FROM THE WRITTEN FILES (driver-side pyarrow under
-        # slab_driver_threshold, a cheap file re-scan above it) instead of
-        # recomputing the flag/anti-join lineage per consumer.
-        new_urls = self._filter_new_urls(outlinks, round_no)
-        n_new, new_files = self._hostpart_append_counted(
-            self.t_frontier, new_urls, {"round": round_no})
-        self._mark("frontier(new_urls)")
-        if n_new:
-            hashes = self._append_seen_from_files(new_files, round_no, n_new)
-            self._mark("seen")
-            self._update_slabs(None, round_no, n_new=n_new,
-                               hashes=hashes, files=new_files)
-            self._mark("slabs")
+        if (small_round
+                and not (self._seen_partitioned()
+                         and self.t_slabs.exists())
+                and self._files_bytes(self.t_seen)
+                <= self.dequeue_driver_bytes):
+            # SMALL-ROUND DRIVER COMMIT: ONE job computes the aggregated
+            # outlinks (url hash / host / optional canonicalization stay
+            # Spark expressions — no semantic re-implementation) and
+            # collects them; the Bloom+cuckoo flag (the same numpy code
+            # the executor kernel runs), the exact seen confirm (url
+            # membership over a bytes-gated pyarrow read — stricter-
+            # equivalent to the [url_hash, url] anti-join) and the
+            # frontier/seen/slab commits all run driver-side.
+            n_new = self._commit_new_urls_driver(outlinks, round_no)
         else:
-            # still mark the round on the tables for rollback bookkeeping
-            # (append_counted already meta-committed the frontier)
-            for t in (self.t_seen, self.t_slabs):
-                t.commit_meta({"round": round_no})
+            # WRITE-FIRST commit: the new-url set is appended straight
+            # to the frontier (ONE job — no count() pass, no cache);
+            # n_new comes from the written parquet footers, and the seen
+            # append + slab update are derived FROM THE WRITTEN FILES
+            # (driver-side pyarrow under slab_driver_threshold, a cheap
+            # file re-scan above it) instead of recomputing the
+            # flag/anti-join lineage per consumer.
+            new_urls = self._filter_new_urls(outlinks, round_no)
+            n_new, new_files = self._hostpart_append_counted(
+                self.t_frontier, new_urls, {"round": round_no})
+            self._mark("frontier(new_urls)")
+            if n_new:
+                hashes = self._append_seen_from_files(new_files, round_no,
+                                                      n_new)
+                self._mark("seen")
+                self._update_slabs(None, round_no, n_new=n_new,
+                                   hashes=hashes, files=new_files)
+                self._mark("slabs")
+            else:
+                # still mark the round on the tables for rollback
+                # bookkeeping (append_counted already meta-committed
+                # the frontier)
+                for t in (self.t_seen, self.t_slabs):
+                    t.commit_meta({"round": round_no})
 
         # --- per-partition lineage metrics: from the SAME aggregation
         # that produced the fetch_seq offsets (no extra job)
