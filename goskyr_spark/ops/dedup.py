@@ -170,26 +170,28 @@ def minhash_lsh_buckets_capped(documents, text_col="text", id_col="doc_id",
     its own partition-parallel pass". ('' not NULL so the value-hash
     oracle gate stays NULL-free.)
 
-    Plan: count-only aggregation first (fixed-size buffers), then the
-    collect_list runs ONLY over rows whose bucket passed the cap (inner
-    join on the bucket key; AQE reuses the banded exchange)."""
+    Plan: ONE pass — a bucket-count window over the banded exchange
+    gates a conditional collect_list (null above the cap, and
+    collect_list skips nulls, so a degenerate bucket's aggregation
+    buffer stays EMPTY — the memory guard is unchanged). The window and
+    the aggregation share one (band_id, band_sig) exchange, so the
+    shingle+signature aggregation runs exactly once. (The previous
+    three-branch count/join/union form re-computed the full signature
+    pass per branch: ReuseExchange does not fire across the branches —
+    measured 3 parquet scans and 3 signature aggregations per run.)"""
+    from pyspark.sql import Window
+
     allb = _banded(documents, text_col, id_col, num_perm, band_size,
                    shingle_n)
-    counts = (allb.groupBy("band_id", "band_sig")
-              .agg(F.count("*").alias("n_docs"))
-              .filter(F.col("n_docs") >= 2))
-    big = (counts.filter(F.col("n_docs") > max_bucket)
-           .select("band_id", "band_sig",
-                   F.lit("").alias("candidates"),
-                   "n_docs"))
-    small_keys = (counts.filter(F.col("n_docs") <= max_bucket)
-                  .select("band_id", "band_sig"))
-    small = (allb.join(small_keys, ["band_id", "band_sig"])
-             .groupBy("band_id", "band_sig")
-             .agg(F.concat_ws(",", F.sort_array(F.collect_list(id_col)))
-                  .alias("candidates"),
-                  F.count("*").alias("n_docs")))
-    return (small.unionByName(big)
+    w = Window.partitionBy("band_id", "band_sig")
+    return (allb
+            .withColumn("_n", F.count("*").over(w))
+            .filter(F.col("_n") >= 2)
+            .groupBy("band_id", "band_sig")
+            .agg(F.concat_ws(",", F.sort_array(F.collect_list(
+                F.when(F.col("_n") <= max_bucket, F.col(id_col)))))
+                .alias("candidates"),
+                F.count("*").alias("n_docs"))
             .orderBy("band_id", "band_sig"))
 
 
@@ -317,10 +319,14 @@ def ngram_jaccard_pairs(documents, text_col="text", id_col="doc_id",
     buckets = (sh.groupBy("shingle")
                .agg(F.sort_array(F.collect_list(id_col)).alias("ids")))
     if max_df is not None:
-        buckets = buckets.filter(F.size("ids") <= max_df)
-        # set sizes over the REDUCED universe: re-derive from the kept
-        # posting lists (AQE reuses the groupBy(shingle) exchange at
-        # runtime, so this does not re-shuffle the corpus)
+        # the kept posting lists feed BOTH the pair generator and the
+        # reduced-universe set sizes (which the final join consumes
+        # twice, as n_a and n_b) — materialize them once: without it
+        # each consumer re-runs the full shingle explode + index
+        # aggregation (measured: 3 corpus scans per run; exchange
+        # reuse does not fire across the branches)
+        buckets = buckets.filter(F.size("ids") <= max_df) \
+            .localCheckpoint()
         sizes = (buckets.select(F.explode("ids").alias(id_col))
                  .groupBy(id_col).agg(F.count("*").alias("n_sh")))
     else:
@@ -383,27 +389,41 @@ def dup_components(pairs, id_a="id_a", id_b="id_b", max_iter=50):
     # truncates the lineage so each round's plan is O(one iteration).
     # (On a real cluster prefer spark.sparkContext.setCheckpointDir +
     # .checkpoint() for executor-loss resilience; same semantics.)
+    # pre-partition the (bigger) edge side by its join key ONCE: the
+    # per-iteration propagate join then reuses sym's partitioning and
+    # only the (small) label table moves; the single per-iteration
+    # exchange left is the groupBy(src) aggregation
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"),
-                     F.col("src").alias("dst"))).localCheckpoint()
+                     F.col("src").alias("dst"))) \
+        .repartition("dst").localCheckpoint()
     labels = (sym.select(F.col("src").alias("node"))
               .distinct()
               .withColumn("component", F.col("node"))).localCheckpoint()
-    for _ in range(max_iter):
+    changed = None
+    for it in range(max_iter):
         prop = (sym.join(labels, sym["dst"] == labels["node"])
                 .groupBy("src")
                 .agg(F.min("component").alias("nbr_min")))
+        # the convergence flag rides along in the SAME join that builds
+        # the new labels (nbr_min < old component ⇔ the label moved), so
+        # detecting a fixpoint is a filter-count over the checkpointed
+        # result instead of a separate old-vs-new join job
         new_labels = (labels.join(prop, labels["node"] == prop["src"],
                                   "left")
                       .select(F.col("node"),
                               F.least(F.col("component"),
                                       F.coalesce(F.col("nbr_min"),
                                                  F.col("component")))
-                              .alias("component")).localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter("n.component != o.component").count())
-        labels = new_labels
+                              .alias("component"),
+                              (F.col("nbr_min") < F.col("component"))
+                              .alias("_moved")).localCheckpoint())
+        # round 1 always changes a label on a non-empty edge set (for
+        # any edge (a,b) with a<b, node b's neighbour-min is <= a < b),
+        # so its convergence count is skipped outright
+        changed = (1 if it == 0
+                   else new_labels.filter("_moved").count())
+        labels = new_labels.drop("_moved")
         if changed == 0:
             break
     else:

@@ -113,14 +113,24 @@ def srp_lsh_buckets(embeddings, n_planes=4, id_col="vec_id",
     the plan shape is identical."""
     planes = [r[0] for r in embeddings.orderBy(id_col)
               .select(vec_col).limit(n_planes).collect()]
+    return (embeddings
+            .select(F.col(id_col),
+                    _srp_bucket_expr(planes, vec_col).alias("bucket"))
+            .orderBy(id_col))
+
+
+def _srp_bucket_expr(planes, vec_col):
+    """SRP bucket id as a bare Column (sign bits against the given
+    plane vectors) — lets ANN candidate generators attach the bucket as
+    a projection instead of joining the corpus back to a projection of
+    itself (which costs two exchanges and a sort-merge join for rows
+    the scan already has)."""
     bucket = F.lit(0)
     for p, vec in enumerate(planes):
         arr = F.array(*[F.lit(float(x)) for x in vec])
         bucket = bucket + F.when(_dot(F.col(vec_col), arr) > 0,
                                  2 ** p).otherwise(0)
-    return (embeddings
-            .select(F.col(id_col), bucket.cast("long").alias("bucket"))
-            .orderBy(id_col))
+    return bucket.cast("long")
 
 
 def ivf_assign(embeddings, n_centroids=4, id_col="vec_id",
@@ -168,7 +178,12 @@ def embed_near_dup_pairs(embeddings, threshold=0.3, n_planes=4,
     class; enumerating every pair inside one is the quadratic blow-up,
     not new information — handle such classes by keeper-election per
     bucket instead)."""
-    buckets = srp_lsh_buckets(embeddings, n_planes, id_col, vec_col)
+    # the (id, bucket) table is tiny but feeds three consumers (the
+    # keep-list and both self-join sides) — materialize it once so the
+    # SRP projection over the corpus runs a single time instead of per
+    # consumer (exchange reuse does not fire across the branches)
+    buckets = srp_lsh_buckets(embeddings, n_planes, id_col,
+                              vec_col).localCheckpoint()
     if max_bucket is not None:
         keep = (buckets.groupBy("bucket")
                 .agg(F.count("*").alias("_n"))
@@ -197,8 +212,10 @@ def ann_topk_lsh(embeddings, query_vec_id=0, k=10, n_planes=4,
     so the scan prunes to ~corpus/2^n_planes. A single bucket probe
     loses recall; ``ann_topk_lsh_multi`` is the production variant (L
     independent tables, union of buckets)."""
-    buckets = srp_lsh_buckets(embeddings, n_planes, id_col, vec_col)
-    with_b = embeddings.join(buckets, id_col)
+    planes = [r[0] for r in embeddings.orderBy(id_col)
+              .select(vec_col).limit(n_planes).collect()]
+    with_b = embeddings.withColumn(
+        "bucket", _srp_bucket_expr(planes, vec_col))
     qb = with_b.filter(F.col(id_col) == query_vec_id) \
         .select(F.col("bucket").alias("_qb"))
     cand = with_b.join(F.broadcast(qb), F.col("bucket") == F.col("_qb")) \
@@ -234,8 +251,14 @@ def ann_topk_lsh_multi(embeddings, query_vec_id=0, k=10, n_planes=4,
     while the scan still prunes to ~L/2^n_planes of the corpus. All L
     bucket tests evaluate in one pass over one scan (OR filter against
     the broadcast query row)."""
-    mb = srp_multi_buckets(embeddings, n_planes, n_tables, id_col, vec_col)
-    with_b = embeddings.join(mb, id_col)
+    planes = [r[0] for r in embeddings.orderBy(id_col)
+              .select(vec_col).limit(n_planes * n_tables).collect()]
+    with_b = embeddings
+    for t in range(n_tables):
+        with_b = with_b.withColumn(
+            f"bucket_{t}",
+            _srp_bucket_expr(planes[t * n_planes:(t + 1) * n_planes],
+                             vec_col))
     q = with_b.filter(F.col(id_col) == query_vec_id).select(
         *[F.col(f"bucket_{t}").alias(f"_qb{t}") for t in range(n_tables)])
     cond = F.lit(False)
@@ -256,8 +279,10 @@ def ann_topk_lsh_probed(embeddings, query_vec_id=0, k=10, n_planes=4,
     probe set is a bit_count filter on the precomputed bucket column —
     partition-prunable when the table is written partitioned by
     bucket."""
-    buckets = srp_lsh_buckets(embeddings, n_planes, id_col, vec_col)
-    with_b = embeddings.join(buckets, id_col)
+    planes = [r[0] for r in embeddings.orderBy(id_col)
+              .select(vec_col).limit(n_planes).collect()]
+    with_b = embeddings.withColumn(
+        "bucket", _srp_bucket_expr(planes, vec_col))
     qb = with_b.filter(F.col(id_col) == query_vec_id) \
         .select(F.col("bucket").alias("_qb"))
     cand = (with_b.crossJoin(F.broadcast(qb))
@@ -337,9 +362,15 @@ def ivf_train(embeddings, n_centroids=4, n_iter=2, id_col="vec_id",
              .select("qv").limit(n_centroids).collect()]
     stats = None
     for _ in range(n_iter):
-        assign = _assign_to(q, cents, id_col, "qv")
-        exploded = (q.join(assign, id_col)
-                    .select("centroid", F.posexplode("qv").alias("i", "v")))
+        # assignment is a pure projection of q — attach it inline
+        # instead of joining q back to a projection of itself. Two
+        # select steps: a generator's sibling expressions land in the
+        # Project ABOVE the Generate, so a one-step select would
+        # re-evaluate the argmax once per EXPLODED row (dim× the work)
+        exploded = (q.select(
+            _argmax_cosine_expr(F.col("qv"), cents).alias("centroid"),
+            "qv")
+            .select("centroid", F.posexplode("qv").alias("i", "v")))
         stats = (exploded.groupBy("centroid", "i")
                  .agg(F.sum("v").cast("long").alias("sum_v"),
                       F.count("*").alias("n_members"))
@@ -381,24 +412,48 @@ def pq_train(embeddings, m=2, n_centroids=4, n_iter=2, id_col="vec_id",
     the final iteration's EXACT integer sum + member count — the
     float-risk-free oracle gate, same contract as sim_ivf_train.
 
-    Scale: m × n_iter small scans; training data per subspace is the
-    same one embeddings table column-sliced (no shuffle added over
-    ivf_train itself)."""
+    Scale: all m subspaces train JOINTLY — each Lloyd's iteration is
+    ONE scan that computes every subspace's argmax assignment and ONE
+    (m·k·d_sub)-group aggregation/collect, instead of m independent
+    per-subspace training loops (m× fewer jobs, identical math: the
+    per-subspace sums are exact integers and the assignments are the
+    same expressions on the same slices — quantization commutes with
+    slicing elementwise)."""
     dim = len(embeddings.orderBy(id_col).select(vec_col).first()[0])
     d_sub = dim // m
-    books, stats = [], None
-    for s in range(m):
-        sub = embeddings.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias(vec_col))
-        cents, st = ivf_train(sub, n_centroids=n_centroids,
-                              n_iter=n_iter, id_col=id_col,
-                              vec_col=vec_col, scale=scale)
-        books.append(cents)
-        st = st.select(F.lit(s).cast("long").alias("subspace"),
-                       "centroid", "i", "sum_v", "n_members")
-        stats = st if stats is None else stats.unionByName(st)
-    return books, stats.orderBy("subspace", "centroid", "i")
+    q = quantized(embeddings, id_col, vec_col, scale)
+    seed_rows = [list(r[0]) for r in q.orderBy(id_col)
+                 .select("qv").limit(n_centroids).collect()]
+    books = [[row[s * d_sub:(s + 1) * d_sub] for row in seed_rows]
+             for s in range(m)]
+    stats = None
+    for _ in range(n_iter):
+        parts = F.array(*[
+            F.struct(
+                F.lit(s).cast("long").alias("subspace"),
+                _argmax_cosine_expr(
+                    F.slice(F.col("qv"), s * d_sub + 1, d_sub),
+                    books[s]).alias("centroid"),
+                F.slice(F.col("qv"), s * d_sub + 1, d_sub).alias("v"))
+            for s in range(m)])
+        exploded = (q.select(F.explode(parts).alias("p"))
+                    .select("p.subspace", "p.centroid",
+                            F.posexplode("p.v").alias("i", "v")))
+        stats = (exploded.groupBy("subspace", "centroid", "i")
+                 .agg(F.sum("v").cast("long").alias("sum_v"),
+                      F.count("*").alias("n_members"))
+                 .orderBy("subspace", "centroid", "i"))
+        new = {}
+        for r in stats.collect():
+            new.setdefault(
+                (int(r["subspace"]), int(r["centroid"])), {})[
+                int(r["i"])] = r["sum_v"] / r["n_members"]
+        books = [
+            [[new[(s, c)][i] for i in range(d_sub)]
+             if (s, c) in new else books[s][c]
+             for c in range(n_centroids)]
+            for s in range(m)]
+    return books, stats
 
 
 def ann_topk_pq(embeddings, books, query_vec_id=0, k=10,
