@@ -557,6 +557,11 @@ def guess_year(fields, items, ref_now, start_refs=None):
                     prev = start_refs.get(name)
                     ref = prev if isinstance(prev, _dt) else _dt(1, 1, 1,
                                                                  tzinfo=t.tzinfo)
+                else:
+                    # item 0 of a field NOT covered by a partial
+                    # start_refs dict: reference is ref_now, never a ref
+                    # left over from a previously processed field
+                    ref = ref_now
                 from .golayout import go_date
 
                 diff = None

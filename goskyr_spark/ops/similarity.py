@@ -95,8 +95,12 @@ def cosine_topk_batch(embeddings, query_ids, k=10, id_col="vec_id",
         if best is not None and len(best):
             yield best
 
+    # id column type follows the input schema (string ids work too);
+    # query_id carries the same type by construction
+    id_type = embeddings.schema[id_col].dataType.simpleString()
     partial = scored.mapInPandas(
-        partial_topk, f"query_id long, {id_col} long, cosine double")
+        partial_topk,
+        f"query_id {id_type}, {id_col} {id_type}, cosine double")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.col(id_col))
     return (partial.withColumn("_rn", F.row_number().over(w))
