@@ -217,9 +217,14 @@ def test_round_broadcasts_released(spark, tmp_path):
     spec = SynthSpec(n_hosts=2, pages_per_host=2, items_per_page=2,
                      hot_hosts=0, hot_factor=1)
     pages = synth_pages_df(spark, spec, include_fixtures=False)
+    # slab_driver_threshold=0 forces the DISTRIBUTED seen/slab paths —
+    # since round 7 the small-round driver fast paths create no
+    # broadcasts at all (nothing to release), so the release contract
+    # is exercised on the code paths that still broadcast
     eng = CrawlEngine(spark, str(tmp_path / "wd"), pages, event_scraper,
                       [f"https://{host_name(h)}/list/1"
-                       for h in range(spec.n_hosts)], now=NOW)
+                       for h in range(spec.n_hosts)], now=NOW,
+                      slab_driver_threshold=0)
     seen_any = []
     orig = eng._bc
 
