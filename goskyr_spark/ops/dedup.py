@@ -19,6 +19,18 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 
+def _bind(col, fn):
+    """Evaluate ``col`` once per row and feed the VALUE to ``fn``
+    (higher-order-function variable binding): an expression referenced
+    inside a Spark lambda is re-evaluated per array element — no
+    common-subexpression elimination crosses the lambda boundary — so
+    e.g. slicing a split() inside a per-shingle lambda re-tokenizes the
+    whole document for every shingle (measured 6.5x on the sf0.1
+    corpus). Binding via a single-element transform materializes the
+    value once."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def _words(col):
     return F.split(F.trim(col), r"\s+")
 
@@ -29,14 +41,22 @@ def shingles_expr(text_col="text", n=3):
     Documents with fewer than n words yield ZERO shingles (not one
     truncated shingle) — this matches the DuckDB oracle's comprehension
     `range(1, greatest(len(w)-(n-1),0)+1)` so the value-hash gate holds
-    on corpora containing short documents."""
-    words = _words(F.col(text_col))
-    full = F.transform(
-        F.sequence(F.lit(0), F.size(words) - n),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
-    return F.array_distinct(
-        F.when(F.size(words) >= n, full)
-        .otherwise(F.array().cast("array<string>")))
+    on corpora containing short documents.
+
+    The word split is BOUND ONCE via a single-element transform: a
+    naive `slice(split(text), i, n)` inside the per-shingle lambda
+    re-tokenizes the whole document for every shingle (no common-
+    subexpression elimination across a lambda boundary) — measured
+    6.5x slower on the sf0.1 corpus, identical output."""
+    def build(w):
+        full = F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
+        return F.array_distinct(
+            F.when(F.size(w) >= n, full)
+            .otherwise(F.array().cast("array<string>")))
+
+    return _bind(_words(F.col(text_col)), build)
 
 
 def exact_dedup(documents, text_col="text", id_col="doc_id"):
@@ -580,13 +600,12 @@ def window_occurrences(documents, k, words_expr, id_col="doc_id"):
     window OCCURRENCE. Hashes are computed in-row (transform over a
     sequence, map-only, one md5 per window); docs shorter than k yield
     no rows."""
-    gram_hashes = F.when(
-        F.size(words_expr) >= k,
+    gram_hashes = _bind(words_expr, lambda w: F.when(
+        F.size(w) >= k,
         F.transform(
-            F.sequence(F.lit(1), F.size(words_expr) - (k - 1)),
-            lambda i: F.md5(F.concat_ws(" ",
-                                        F.slice(words_expr, i, k)))))\
-        .otherwise(F.array().cast("array<string>"))
+            F.sequence(F.lit(1), F.size(w) - (k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, k)))))
+        .otherwise(F.array().cast("array<string>")))
     return (documents
             .select(F.col(id_col),
                     F.posexplode(gram_hashes).alias("_i", "_g"))
@@ -607,18 +626,24 @@ def cut_marked_windows(documents, marked, k, words_expr, text_col,
     joined = documents.select(F.col(id_col), F.col(text_col)) \
         .join(cuts, id_col, "left")
     cut_arr = F.coalesce(F.col("_cuts"), F.array().cast("array<int>"))
-    kept_idx = F.filter(
-        F.sequence(F.lit(1), F.size(words_expr)),
-        lambda p: ~F.exists(cut_arr,
-                            lambda s: (s <= p) & (s >= p - (k - 1))))
+
+    def out(wds):
+        kept_e = F.filter(
+            F.sequence(F.lit(1), F.size(wds)),
+            lambda p: ~F.exists(cut_arr,
+                                lambda s: (s <= p) & (s >= p - (k - 1))))
+        # bind the kept-index array too: it feeds the projection, the
+        # kept count AND the removed count
+        return _bind(kept_e, lambda kept: F.struct(
+            F.concat_ws(" ", F.transform(
+                kept, lambda p: F.element_at(wds, p))).alias("text_cut"),
+            F.size(kept).cast("long").alias("n_kept"),
+            (F.size(wds) - F.size(kept)).cast("long").alias("n_removed")))
+
     return (joined
-            .select(F.col(id_col),
-                    F.concat_ws(" ", F.transform(
-                        kept_idx, lambda p: F.element_at(words_expr, p)))
-                    .alias("text_cut"),
-                    F.size(kept_idx).cast("long").alias("n_kept"),
-                    (F.size(words_expr) - F.size(kept_idx)).cast("long")
-                    .alias("n_removed"))
+            .select(F.col(id_col), _bind(words_expr, out).alias("_o"))
+            .select(F.col(id_col), "_o.text_cut", "_o.n_kept",
+                    "_o.n_removed")
             .orderBy(id_col))
 
 
@@ -640,12 +665,12 @@ def substring_dup_stats(documents, k=8, text_col="text", id_col="doc_id"):
     """
     w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     # sequence(1, 0) DESCENDS in Spark, so short docs need the guard
-    gram_hashes = F.when(
-        F.size(w) >= k,
+    gram_hashes = _bind(w, lambda wb: F.when(
+        F.size(wb) >= k,
         F.array_distinct(F.transform(
-            F.sequence(F.lit(1), F.size(w) - (k - 1)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, k)))))
-    ).otherwise(F.array().cast("array<string>"))
+            F.sequence(F.lit(1), F.size(wb) - (k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(wb, i, k)))))
+    ).otherwise(F.array().cast("array<string>")))
     grams = (documents
              .select(F.col(id_col), F.explode(gram_hashes).alias("_g")))
     dup = (grams.groupBy("_g")

@@ -53,14 +53,21 @@ def _lines(text_col):
 
 def _ngrams(words, n):
     """Word n-grams joined with ' '; empty array when the doc has fewer
-    than n words (F.sequence(1, 0) would count DOWN, so guard)."""
+    than n words (F.sequence(1, 0) would count DOWN, so guard). The
+    word array is BOUND once (single-element transform) so the slice
+    inside the per-gram lambda does not re-evaluate the tokenization
+    per gram (no CSE across a lambda boundary)."""
     if n == 1:
         return words
-    starts = F.sequence(F.lit(1), F.size(words) - F.lit(n - 1))
-    arr = F.transform(starts,
-                      lambda s: F.array_join(F.slice(words, s, n), " "))
-    return F.when(F.size(words) >= n, arr) \
-        .otherwise(F.array().cast("array<string>"))
+
+    def build(w):
+        starts = F.sequence(F.lit(1), F.size(w) - F.lit(n - 1))
+        arr = F.transform(starts,
+                          lambda s: F.array_join(F.slice(w, s, n), " "))
+        return F.when(F.size(w) >= n, arr) \
+            .otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(words), build), 1)
 
 
 def _run_stats(sorted_arr, repeats_only=False):

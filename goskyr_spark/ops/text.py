@@ -210,12 +210,14 @@ def fingerprint(documents, text_col="text", id_col="doc_id",
     normalized text (whitespace collapsed, lowercased) — a content
     fingerprint with identical integer arithmetic in the SQL oracle."""
     t = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    codes = F.transform(
-        F.sequence(F.lit(1), F.length(t)),
-        lambda i: F.ascii(F.substring(t, i, 1)).cast("long"))
-    fp = F.aggregate(
-        codes, F.lit(0).cast("long"),
-        lambda acc, c: (acc * base + c) % mod)
+    # bind the normalized text once: referencing it inside the
+    # per-character lambda re-runs the regexp_replace for EVERY
+    # character (O(len^2) work; no CSE across a lambda boundary)
+    fp = F.element_at(F.transform(F.array(t), lambda tb: F.aggregate(
+        F.transform(F.sequence(F.lit(1), F.length(tb)),
+                    lambda i: F.ascii(F.substring(tb, i, 1)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + c) % mod)), 1)
     return documents.select(F.col(id_col), fp.alias("fingerprint")) \
         .orderBy(id_col)
 
