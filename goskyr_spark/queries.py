@@ -888,16 +888,23 @@ def _paginated_docs(spark, sf_dir):
     harness that gives the LINE-level C4 rules real signal on the
     newline-free test corpus (identically expressed in the oracle)."""
     words = F.split(F.trim(F.col("text")), r"\s+")
-    line = lambda s: F.concat(  # noqa: E731
-        F.array_join(F.slice(words, s, 8), " "),
-        F.when(((F.col("doc_id")
-                 + F.floor((s - F.lit(1)) / 8).cast("long")) % 2) == 0,
-               F.lit(".")).otherwise(F.lit("")))
-    starts = F.sequence(F.lit(1), F.greatest(F.size(words), F.lit(1)),
-                        F.lit(8))
+
+    # the word array is bound once (single-element transform): slicing
+    # the split inside the per-line lambda would re-tokenize the doc
+    # per line (no CSE across a lambda boundary — see ops/dedup._bind)
+    def build(w):
+        line = lambda s: F.concat(  # noqa: E731
+            F.array_join(F.slice(w, s, 8), " "),
+            F.when(((F.col("doc_id")
+                     + F.floor((s - F.lit(1)) / 8).cast("long")) % 2) == 0,
+                   F.lit(".")).otherwise(F.lit("")))
+        starts = F.sequence(F.lit(1), F.greatest(F.size(w), F.lit(1)),
+                            F.lit(8))
+        return F.array_join(F.transform(starts, line), "\n")
+
     return documents(spark, sf_dir).select(
         "doc_id",
-        F.array_join(F.transform(starts, line), "\n").alias("text"))
+        F.element_at(F.transform(F.array(words), build), 1).alias("text"))
 
 
 def q_txt_c4_clean(spark, sf_dir):
