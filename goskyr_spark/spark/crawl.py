@@ -68,6 +68,17 @@ logger = logging.getLogger("goskyr_spark.crawl")
 # UNREACHABLE (5xx / network error) MUST be assumed complete disallow.
 ROBOTS_DISALLOW_ALL = b"User-agent: *\nDisallow: /\n"
 
+# Live-mode robots cache, worker-global across tasks AND rounds (a
+# reused Python worker keeps module globals): RFC 9309 §2.4 says
+# crawlers SHOULD cache robots.txt up to 24 hours — re-fetching every
+# host's robots every round paid one extra GET + one crawl-delay
+# alignment per host per round for nothing. Only resolvable outcomes
+# are cached (2xx bodies and 4xx allow-all); 5xx/network-failure
+# disallow-all stays per-round so an unreachable host is re-probed the
+# next round, exactly as before.
+_ROBOTS_TTL_SECS = 24 * 3600.0
+_LIVE_ROBOTS_CACHE = {}  # (scheme, netloc, user_agent) -> (expiry, rules)
+
 FRONTIER_SCHEMA = StructType([
     StructField("url", StringType()),
     StructField("url_hash", LongType()),
@@ -1720,28 +1731,48 @@ class CrawlEngine:
                             # robots URL keeps the original NETLOC (the
                             # host key strips ports; the request must not)
                             sp = urlsplit(url)
-                            try:
-                                rb = polite_get(
-                                    host,
-                                    f"{sp.scheme or 'https'}://"
-                                    f"{sp.netloc}/robots.txt",
-                                    0.0).encode()
-                            except FetchError as e:
-                                # RFC 9309: 4xx (unavailable) ⇒ allow-all;
-                                # 5xx (unreachable) ⇒ complete disallow —
-                                # a transient server error must not
-                                # silently disable robots for the host.
-                                # robots_cache is per-round (kernel
-                                # state), so a 5xx host is retried on
-                                # the next round automatically
-                                rb = (b"" if e.status is not None
-                                      and 400 <= e.status < 500
-                                      else ROBOTS_DISALLOW_ALL)
-                            except Exception:
-                                # network-level failure = unreachable
-                                rb = ROBOTS_DISALLOW_ALL
-                        robots_cache[host] = parse_robots(
-                            rb if rb is not None else b"", user_agent)
+                            ck = (sp.scheme or "https", sp.netloc,
+                                  user_agent)
+                            hit = _LIVE_ROBOTS_CACHE.get(ck)
+                            if hit is not None and \
+                                    hit[0] > time.monotonic():
+                                robots_cache[host] = hit[1]
+                            else:
+                                cacheable = True
+                                try:
+                                    rb = polite_get(
+                                        host,
+                                        f"{sp.scheme or 'https'}://"
+                                        f"{sp.netloc}/robots.txt",
+                                        0.0).encode()
+                                except FetchError as e:
+                                    # RFC 9309: 4xx (unavailable) ⇒
+                                    # allow-all (cacheable); 5xx
+                                    # (unreachable) ⇒ complete disallow,
+                                    # NOT cached — the host is re-probed
+                                    # next round, as before
+                                    if e.status is not None \
+                                            and 400 <= e.status < 500:
+                                        rb = b""
+                                    else:
+                                        rb = ROBOTS_DISALLOW_ALL
+                                        cacheable = False
+                                except Exception:
+                                    # network-level failure = unreachable
+                                    rb = ROBOTS_DISALLOW_ALL
+                                    cacheable = False
+                                rules = parse_robots(rb, user_agent)
+                                robots_cache[host] = rules
+                                if cacheable:
+                                    if len(_LIVE_ROBOTS_CACHE) > 100_000:
+                                        _LIVE_ROBOTS_CACHE.clear()
+                                    _LIVE_ROBOTS_CACHE[ck] = (
+                                        time.monotonic()
+                                        + _ROBOTS_TTL_SECS, rules)
+                        else:
+                            robots_cache[host] = parse_robots(
+                                rb if rb is not None else b"",
+                                user_agent)
                     rules = robots_cache[host]
                     delay = rules.crawl_delay or 0.0
                     fetch_ts = round_base + (host_seq - 1) * delay
