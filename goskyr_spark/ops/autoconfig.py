@@ -194,15 +194,6 @@ def infer_scraper(html, url="", min_occ=5, only_varying=True,
             p[-1] += f":nth-of-type({c['nth']})"
         return tuple(p)
 
-    # item selector from ALL discovered candidates, BEFORE field
-    # selection: the reference runs fieldSelection on the already-built
-    # scraper (fieldmanager.go:356-373), so dropping fields never
-    # changes the item selector — keeping only a nested subset must not
-    # collapse `item` to a deeper node (which would change item counts
-    # and per-item empty-value semantics)
-    field_paths = [_el_path(c) for c in candidates]
-    item_path = _common_prefix(field_paths)
-
     if select is not None:
         keep = sorted(set(select(candidates, names)))
         candidates = [candidates[i] for i in keep
@@ -210,6 +201,15 @@ def infer_scraper(html, url="", min_occ=5, only_varying=True,
         names = [names[i] for i in keep if 0 <= i < len(names)]
         if not candidates:
             return None
+
+    # item selector from the SELECTED candidates, AFTER field
+    # selection — reference order: elementsToConfig
+    # (fieldmanager.go:459-495, the only place s.Item is set) first
+    # removes unselected fieldProps, then derives the shared root
+    # selector from what remains, so selecting a nested subset DOES
+    # move the item selector in the reference
+    field_paths = [_el_path(c) for c in candidates]
+    item_path = _common_prefix(field_paths)
     # the item node itself must repeat; walk back until the selector
     # matches ≥ min_occ nodes (reference trimPrefix keeps ≥3 segments)
     while item_path:

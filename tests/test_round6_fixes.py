@@ -46,22 +46,30 @@ def _event_page():
     return "https://ex.test/", f"<html><body><div id='list'>{items}</div></body></html>"
 
 
-def test_item_selector_unchanged_by_field_selection():
+def test_item_selector_follows_selected_fields():
+    """Reference order (round-7 advisory fix): elementsToConfig
+    (fieldmanager.go:459-495) removes unselected fieldProps FIRST and
+    derives the shared root selector from the kept ones — so the item
+    selector is the common prefix of the SELECTED fields' paths (it may
+    sit deeper than the all-fields prefix for a nested subset), and
+    every kept field still extracts under it."""
+    from goskyr_spark.kernels.scrape import scrape_page
+
     url, html = _event_page()
     full = infer_scraper(html, url, min_occ=5)
     assert full is not None and len(full.fields) >= 2
     for keep in range(len(full.fields)):
         sub = infer_scraper(html, url, min_occ=5,
                             select=lambda c, n, k=keep: [k])
-        assert sub.item == full.item, (
-            f"keeping only field {keep} moved the item selector "
-            f"{full.item!r} -> {sub.item!r}")
-        # item COUNT is unchanged too (the semantics the reference
-        # preserves: selection never changes what an item is)
-        from goskyr_spark.kernels.scrape import scrape_page
-
-        assert len(scrape_page(sub, url, html).items) == \
-            len(scrape_page(full, url, html).items)
+        # the single kept field's item selector is a refinement: the
+        # all-fields item selector is a prefix of it (common prefix of
+        # a subset can only be deeper or equal)
+        assert sub.item.startswith(full.item), (full.item, sub.item)
+        # and the kept field still extracts non-empty values
+        items = scrape_page(sub, url, html).items
+        assert items and any(
+            v for it in items for kk, v in it.items()
+            if not kk.startswith("_"))
 
 
 # --- cli train: goskyr.class covers labels absent from the train split -----
