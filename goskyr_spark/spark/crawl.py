@@ -651,6 +651,68 @@ class CrawlEngine:
         self.t_host_stats.append_arrow_bucketed(
             tables, {"round": round_no, "bucket_mod": n_b})
 
+    def _commit_items_driver(self, coll, round_no, fcols):
+        """Items append from the already-collected kernel output (small
+        rounds): slice the Arrow table driver-side and write one parquet
+        file — no separate Spark write job. Column order, names and
+        logical types match the Spark path's select exactly (field
+        columns are cast back to the kernel's own Arrow types, which is
+        what the Spark writer serialized them from)."""
+        import pyarrow.compute as pc
+
+        it = coll.filter(pc.equal(coll["_kind"], "item"))
+        kernel_fields = {f.name: f for f in self._crawl_arrow_schema()}
+        cols = {"page_url": it["_page_url"].cast(pa.string()),
+                "item_idx": it["_item_idx"].cast(pa.int64())}
+        fields = [pa.field("page_url", pa.string()),
+                  pa.field("item_idx", pa.int64())]
+        for name, _ in fcols:
+            t = kernel_fields[name].type
+            cols[name] = it[name].cast(t)
+            fields.append(pa.field(name, t))
+        cols["round"] = pa.array(
+            np.full(len(it), round_no, dtype=np.int64), pa.int64())
+        fields.append(pa.field("round", pa.int64()))
+        self.t_items.append_arrow(
+            pa.table(cols, schema=pa.schema(fields)), {"round": round_no})
+
+    def _fetch_pdf_from_arrow(self, coll, round_no):
+        """Fetch-row frame for _commit_fetched_driver, from the already-
+        collected kernel output: renamed, round-stamped and sorted by the
+        SAME total order the Spark sort produced — (fetch_ts, host, url)
+        with strings compared as UTF-8 bytes (Spark's string ordering),
+        so fetch_seq — and the crawl digest — are byte-identical."""
+        import pyarrow.compute as pc
+
+        pdf = (coll.filter(pc.equal(coll["_kind"], "fetch"))
+               .select(["_page_url", "_url_hash", "_host", "_fetch_ts",
+                        "_status", "_n_items", "_n_errors"])
+               .rename_columns(["url", "url_hash", "host", "fetch_ts",
+                                "status", "n_items", "n_errors"])
+               .to_pandas())
+        pdf["round"] = np.int64(round_no)
+
+        def _key(s):
+            return s.map(lambda x: x.encode()) if s.dtype == object else s
+
+        return pdf.sort_values(["fetch_ts", "host", "url"], key=_key,
+                               kind="mergesort", ignore_index=True)
+
+    def _outlink_df_from_arrow(self, coll):
+        """Rebuild the tiny outlink relation from the collected kernel
+        output as a LOCAL-relation DataFrame (no kernel lineage, so the
+        new-url job never recomputes the fetch/extract pass). The
+        hash / host / canonicalization stay Spark expressions downstream
+        — no semantic re-implementation."""
+        import pyarrow.compute as pc
+
+        ot = (coll.filter(pc.equal(coll["_kind"], "outlink"))
+              .select(["_outlink", "_depth", "_page_no"]))
+        schema = StructType([StructField("_outlink", StringType()),
+                             StructField("_depth", LongType()),
+                             StructField("_page_no", LongType())])
+        return self.spark.createDataFrame(ot.to_pandas(), schema)
+
     def _buckets_complete(self):
         """True when EVERY live frontier/fetched file has a bucket
         assignment UNDER THIS ENGINE'S MODULUS — resuming a workdir
@@ -1834,141 +1896,190 @@ class CrawlEngine:
         # which hash-partitioning on (host, _salt) gives at any width
         n_fetch_parts = max(1, min(self.fetch_partitions,
                                    (n_dequeued + 15) // 16))
-        result = (work.repartition(n_fetch_parts, "host", "_salt")
+        kernel = (work.repartition(n_fetch_parts, "host", "_salt")
                   .sortWithinPartitions("host", "priority", "url")
-                  .mapInArrow(fetch_extract, out_schema)).cache()
-        # first consumer (items append) fills the result cache; only THEN
-        # is the dequeue cache safe to drop (result's lineage includes it)
+                  .mapInArrow(fetch_extract, out_schema))
         out_coalesce = max(1, min(n_fetch_parts, n_dequeued // 50_000 + 1))
-
-        # --- commit: items
-        items = (result.filter("_kind = 'item'")
-                 .select(F.col("_page_url").alias("page_url"),
-                         F.col("_item_idx").alias("item_idx"),
-                         *[n for n, _ in fcols],
-                         F.lit(round_no).cast("long").alias("round")))
-        self.t_items.append(items.coalesce(out_coalesce), {"round": round_no})
-        self._mark("fetch_extract+items")
-
-        # --- commit: live-mode html retention (debug sink / on_subpage
-        # stage-2 source): kernel-fetched html is only reachable through
-        # the result rows, so persist it to debug_pages from there
-        if self._retain_html:
-            dbg = (result.filter("_kind = 'fetch'")
-                   .filter(F.col("_status") == "ok")
-                   .select(F.col("_page_url").alias("url"),
-                           F.col("_host").alias("host"),
-                           F.encode(F.col("_html_out"), "UTF-8")
-                           .alias("html"),
-                           F.lit(round_no).cast("long").alias("round")))
-            self.t_debug.append(dbg.coalesce(out_coalesce),
-                                {"round": round_no})
-
-        # --- commit: fetched (+ deterministic global fetch_seq).
-        # The global sequence over (fetch_ts, host, url) is computed
-        # WITHOUT a single-partition Window (the scale-killer flagged in
-        # round 1): range-partition on the sort key, take the
-        # partition-LOCAL position from monotonically_increasing_id
-        # (pid<<33 + local row number — no shuffle, no Python), then add
-        # an exclusive prefix-sum of per-partition counts (one tiny
-        # n_parts-row collect). The sort key is unique per round (one
-        # fetch row per dequeued url), so the ranking — and the crawl
-        # digest — is identical at any parallelism.
-        fetch_base = (result.filter("_kind = 'fetch'")
-                      .select(F.col("_page_url").alias("url"),
-                              F.col("_host").alias("host"),
-                              F.col("_fetch_ts").alias("fetch_ts"),
-                              F.col("_status").alias("status"),
-                              F.col("_n_items").alias("n_items"),
-                              F.col("_n_errors").alias("n_errors"))
-                      .withColumn("url_hash", F.xxhash64("url"))
-                      .withColumn("round", F.lit(round_no).cast("long")))
-        started = datetime.now(timezone.utc)
         small_round = n_dequeued <= self.slab_driver_threshold
-        if small_round:
-            # SMALL-ROUND FAST PATH: the fetch set has exactly
-            # n_dequeued rows (one per dequeued url), bounded by
-            # slab_driver_threshold — the same driver-materialization
-            # bound the seen set uses. ONE job collects it sorted
-            # (Arrow path); fetch_seq is then a plain position in the
-            # sorted frame, the parquet append is a driver-side pyarrow
-            # write (per-bucket files in bucketed mode, same crc32
-            # modulus as the JVM writer), and the round summary /
-            # lineage metrics / adaptive host_stats delta all come from
-            # the frame already in hand — no range sampling, no
-            # offset-collect job, no cache, no committer temp-dir
-            # dance, no re-read. Identical fetch_seq values: the sort
-            # key is unique per round, so position-in-sorted-order is
-            # the same ranking the range-partitioned path computes.
-            pdf = (fetch_base
-                   .coalesce(1)
-                   .sortWithinPartitions("fetch_ts", "host", "url")
-                   .toPandas())
-            stats = self._commit_fetched_driver(pdf, round_no)
+        # SMALL-ROUND SINGLE-COLLECT: below the same driver-
+        # materialization bound the seen set uses, ONE job runs the
+        # fetch/extract kernel and collects its (html-free) output as
+        # Arrow — the JVM xxhash64 rides along as a column so no hash is
+        # ever recomputed off-JVM. Items, fetched (+ fetch_seq), host
+        # stats and the round metrics all derive driver-side from that
+        # table; the outlink rows are re-lifted as a LOCAL relation so
+        # the new-url job (Spark expressions) never re-runs the kernel.
+        # Replaces three jobs (items append, fetched collect, outlink
+        # collect-from-cache) with one collect + one local-relation job,
+        # and drops the result cache entirely. retain_html rounds keep
+        # the distributed path (page payloads must not be collected).
+        driver_commit = small_round and not self._retain_html
+        if driver_commit:
+            started = datetime.now(timezone.utc)
+            coll = (kernel
+                    .withColumn("_url_hash", F.xxhash64("_page_url"))
+                    .toArrow())
+            if deq_cached:
+                dequeued.unpersist()
+            self._commit_items_driver(coll, round_no, fcols)
+            self._mark("fetch_extract+items")
+            fpdf = self._fetch_pdf_from_arrow(coll, round_no)
+            stats = self._commit_fetched_driver(fpdf, round_no)
             ended = datetime.now(timezone.utc)
             self._mark("fetched_write")
             if self.adaptive_priority or self.t_host_stats.exists():
-                self._commit_host_stats_driver(pdf, round_no)
+                self._commit_host_stats_driver(fpdf, round_no)
                 self._mark("host_stats")
+            result = None
+            outlink_rows = self._outlink_df_from_arrow(coll)
         else:
-            n_seq_parts = max(1, min(n_fetch_parts,
-                                     (n_dequeued + 4095) // 4096))
-            seq_sorted = (fetch_base
-                          .repartitionByRange(n_seq_parts,
-                                              "fetch_ts", "host", "url")
-                          .sortWithinPartitions("fetch_ts", "host", "url")
-                          .withColumn("_pid", F.spark_partition_id())
-                          .withColumn("_local",
-                                      F.monotonically_increasing_id()
-                                      .bitwiseAND(F.lit((1 << 33) - 1)))
-                          ).cache()
-            # ONE tiny aggregation serves both the fetch_seq offsets AND
-            # the per-partition lineage metrics/round summary
-            stats = (seq_sorted.groupBy("_pid")
-                     .agg(F.count("*").alias("n_fetched"),
-                          F.sum(F.when(F.col("status") == "ok", 1)
-                                .otherwise(0)).alias("n_ok"),
-                          F.sum("n_items").alias("n_items"),
-                          F.sum("n_errors").alias("n_errors"))).collect()
-            ended = datetime.now(timezone.utc)
-            self._mark("seq_stats")
-            pid_counts = {int(r["_pid"]): int(r["n_fetched"])
-                          for r in stats}
-            offs, acc = {}, 0
-            for pid in sorted(pid_counts):  # range parts are key-ordered
-                offs[pid] = acc
-                acc += pid_counts[pid]
-            off_map = F.create_map(*[F.lit(v) for pid in sorted(offs)
-                                     for v in (pid, offs[pid])])
-            fetch_rows = (seq_sorted
-                          .withColumn("fetch_seq",
-                                      (F.col("_local") + 1 +
-                                       F.element_at(off_map, F.col("_pid")))
-                                      .cast("long"))
-                          .select(*[f.name for f in FETCHED_SCHEMA.fields]))
-            # single consumer (the append) — reads the seq_sorted cache
-            self._hostpart_write(self.t_fetched, fetch_rows,
-                                 {"round": round_no}, coalesce=out_coalesce)
-            self._mark("fetched_write")
-            # incremental host feedback: THIS round's per-host delta
-            # (from the same seq_sorted cache — no rescan), so the
-            # adaptive dequeue never re-aggregates fetched history.
-            if self.adaptive_priority or self.t_host_stats.exists():
-                self._hostpart_write(
-                    self.t_host_stats,
-                    self._host_stats_delta(seq_sorted)
-                    .withColumn("round", F.lit(round_no).cast("long")),
-                    {"round": round_no}, coalesce=1)
-                self._mark("host_stats")
-            seq_sorted.unpersist()
-        if deq_cached:
-            dequeued.unpersist()
+            result = kernel.cache()
+            # first consumer (items append) fills the result cache; only
+            # THEN is the dequeue cache safe to drop (result's lineage
+            # includes it)
+
+            # --- commit: items
+            items = (result.filter("_kind = 'item'")
+                     .select(F.col("_page_url").alias("page_url"),
+                             F.col("_item_idx").alias("item_idx"),
+                             *[n for n, _ in fcols],
+                             F.lit(round_no).cast("long").alias("round")))
+            self.t_items.append(items.coalesce(out_coalesce),
+                                {"round": round_no})
+            self._mark("fetch_extract+items")
+
+            # --- commit: live-mode html retention (debug sink /
+            # on_subpage stage-2 source): kernel-fetched html is only
+            # reachable through the result rows, so persist it to
+            # debug_pages from there
+            if self._retain_html:
+                dbg = (result.filter("_kind = 'fetch'")
+                       .filter(F.col("_status") == "ok")
+                       .select(F.col("_page_url").alias("url"),
+                               F.col("_host").alias("host"),
+                               F.encode(F.col("_html_out"), "UTF-8")
+                               .alias("html"),
+                               F.lit(round_no).cast("long").alias("round")))
+                self.t_debug.append(dbg.coalesce(out_coalesce),
+                                    {"round": round_no})
+
+            # --- commit: fetched (+ deterministic global fetch_seq).
+            # The global sequence over (fetch_ts, host, url) is computed
+            # WITHOUT a single-partition Window (the scale-killer flagged
+            # in round 1): range-partition on the sort key, take the
+            # partition-LOCAL position from monotonically_increasing_id
+            # (pid<<33 + local row number — no shuffle, no Python), then
+            # add an exclusive prefix-sum of per-partition counts (one
+            # tiny n_parts-row collect). The sort key is unique per round
+            # (one fetch row per dequeued url), so the ranking — and the
+            # crawl digest — is identical at any parallelism.
+            fetch_base = (result.filter("_kind = 'fetch'")
+                          .select(F.col("_page_url").alias("url"),
+                                  F.col("_host").alias("host"),
+                                  F.col("_fetch_ts").alias("fetch_ts"),
+                                  F.col("_status").alias("status"),
+                                  F.col("_n_items").alias("n_items"),
+                                  F.col("_n_errors").alias("n_errors"))
+                          .withColumn("url_hash", F.xxhash64("url"))
+                          .withColumn("round",
+                                      F.lit(round_no).cast("long")))
+            started = datetime.now(timezone.utc)
+            if small_round:
+                # SMALL-ROUND FAST PATH (retain_html rounds — the
+                # html-free ones take the single-collect branch above):
+                # the fetch set has exactly n_dequeued rows (one per
+                # dequeued url), bounded by slab_driver_threshold — the
+                # same driver-materialization bound the seen set uses.
+                # ONE job collects it sorted (Arrow path); fetch_seq is
+                # then a plain position in the sorted frame, the parquet
+                # append is a driver-side pyarrow write (per-bucket
+                # files in bucketed mode, same crc32 modulus as the JVM
+                # writer), and the round summary / lineage metrics /
+                # adaptive host_stats delta all come from the frame
+                # already in hand — no range sampling, no offset-collect
+                # job, no committer temp-dir dance, no re-read.
+                # Identical fetch_seq values: the sort key is unique per
+                # round, so position-in-sorted-order is the same ranking
+                # the range-partitioned path computes.
+                pdf = (fetch_base
+                       .coalesce(1)
+                       .sortWithinPartitions("fetch_ts", "host", "url")
+                       .toPandas())
+                stats = self._commit_fetched_driver(pdf, round_no)
+                ended = datetime.now(timezone.utc)
+                self._mark("fetched_write")
+                if self.adaptive_priority or self.t_host_stats.exists():
+                    self._commit_host_stats_driver(pdf, round_no)
+                    self._mark("host_stats")
+            else:
+                n_seq_parts = max(1, min(n_fetch_parts,
+                                         (n_dequeued + 4095) // 4096))
+                seq_sorted = (fetch_base
+                              .repartitionByRange(n_seq_parts,
+                                                  "fetch_ts", "host",
+                                                  "url")
+                              .sortWithinPartitions("fetch_ts", "host",
+                                                    "url")
+                              .withColumn("_pid", F.spark_partition_id())
+                              .withColumn("_local",
+                                          F.monotonically_increasing_id()
+                                          .bitwiseAND(
+                                              F.lit((1 << 33) - 1)))
+                              ).cache()
+                # ONE tiny aggregation serves both the fetch_seq offsets
+                # AND the per-partition lineage metrics/round summary
+                stats = (seq_sorted.groupBy("_pid")
+                         .agg(F.count("*").alias("n_fetched"),
+                              F.sum(F.when(F.col("status") == "ok", 1)
+                                    .otherwise(0)).alias("n_ok"),
+                              F.sum("n_items").alias("n_items"),
+                              F.sum("n_errors").alias("n_errors"))
+                         ).collect()
+                ended = datetime.now(timezone.utc)
+                self._mark("seq_stats")
+                pid_counts = {int(r["_pid"]): int(r["n_fetched"])
+                              for r in stats}
+                offs, acc = {}, 0
+                for pid in sorted(pid_counts):  # range parts key-ordered
+                    offs[pid] = acc
+                    acc += pid_counts[pid]
+                off_map = F.create_map(*[F.lit(v) for pid in sorted(offs)
+                                         for v in (pid, offs[pid])])
+                fetch_rows = (seq_sorted
+                              .withColumn(
+                                  "fetch_seq",
+                                  (F.col("_local") + 1 +
+                                   F.element_at(off_map, F.col("_pid")))
+                                  .cast("long"))
+                              .select(*[f.name
+                                        for f in FETCHED_SCHEMA.fields]))
+                # single consumer (the append) — reads seq_sorted cache
+                self._hostpart_write(self.t_fetched, fetch_rows,
+                                     {"round": round_no},
+                                     coalesce=out_coalesce)
+                self._mark("fetched_write")
+                # incremental host feedback: THIS round's per-host delta
+                # (from the same seq_sorted cache — no rescan), so the
+                # adaptive dequeue never re-aggregates fetched history.
+                if self.adaptive_priority or self.t_host_stats.exists():
+                    self._hostpart_write(
+                        self.t_host_stats,
+                        self._host_stats_delta(seq_sorted)
+                        .withColumn("round",
+                                    F.lit(round_no).cast("long")),
+                        {"round": round_no}, coalesce=1)
+                    self._mark("host_stats")
+                seq_sorted.unpersist()
+            if deq_cached:
+                dequeued.unpersist()
+            outlink_rows = result.filter("_kind = 'outlink'").select(
+                "_outlink", "_depth", "_page_no")
 
         # --- outlinks → seen-set → new frontier rows
         out_url = F.col("_outlink")
         if self.canonicalize_outlinks:
             out_url = self._canon_expr(out_url)
-        outlinks = (result.filter("_kind = 'outlink'")
+        outlinks = (outlink_rows
                     .select(out_url.alias("url"),
                             (F.col("_depth") + 1).alias("depth"),
                             F.col("_page_no").alias("page_no"))
@@ -2043,7 +2154,8 @@ class CrawlEngine:
         }
         self.t_rounds.append_rows([tuple(summary.values())],
                                   ROUNDS_SCHEMA, {"round": round_no})
-        result.unpersist()
+        if result is not None:
+            result.unpersist()
         self._release_round_broadcasts()
         self._mark("commit_tail")
         return summary

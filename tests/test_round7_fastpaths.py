@@ -58,9 +58,9 @@ def _run(spark, pages, spec, **kw):
                           now=NOW, fetch_partitions=4,
                           round_budget=10_000, **kw)
         summaries = eng.run(max_rounds=30)
-        items = sorted(
-            tuple(r) for r in eng.items_final()
-            .select("page_url", "item_idx", "title").collect())
+        # ALL item columns (incl. timestamp fields): the driver-side
+        # items write must be value-identical to the Spark write path
+        items = sorted(tuple(r) for r in eng.items_final().collect())
         return _digest(eng, spark), summaries, items
     finally:
         shutil.rmtree(wd, ignore_errors=True)
